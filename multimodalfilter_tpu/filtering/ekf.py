@@ -1,0 +1,108 @@
+"""Virtual-sensor extended Kalman filter.
+
+Capability parity with ``torchfilter.filters.VirtualSensorExtendedKalmanFilter``
+as used by the reference (crossmodal/base_models/crossmodal_kf.py:45,147-149,
+178-186,211-215; crossmodal/door_models/kf.py:14-28):
+
+  predict:  F = d(dynamics mean)/d(state)   [jax.jacfwd, batched via vmap]
+            mean' = dynamics(mean);  cov' = F cov F^T + Q (Q = L L^T)
+  update:   virtual sensor -> (z, R_tril); observation model is identity:
+            S = cov' + R,  K = cov' S^{-1}  (Cholesky solve),
+            mean <- mean' + K (z - mean'),  cov <- (I - K) cov'
+
+The belief (mean, cov) is the scan carry — the reference's mutable
+``states_prev`` / ``_belief_covariance`` attributes (crossmodal_kf.py:147-149)
+become explicit state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..types import GaussianBelief
+from .base import DEFAULT_OBS_SPEC, DynamicsDef, FilterDef, ObsSpec, VirtualSensorDef
+
+
+def _kalman_update(pred_mean, pred_cov, z, r_tril):
+    """Identity-observation Kalman update, batched over N."""
+    r = r_tril @ jnp.swapaxes(r_tril, -1, -2)
+    s = pred_cov + r
+    # K = pred_cov @ S^{-1}; with S symmetric PSD use a Cholesky solve:
+    # solve(S, pred_cov) = S^{-1} pred_cov, and K = (S^{-1} pred_cov)^T since
+    # pred_cov is symmetric.
+    chol = jnp.linalg.cholesky(s)
+    k = jnp.swapaxes(jax.scipy.linalg.cho_solve((chol, True), pred_cov), -1, -2)
+    innovation = z - pred_mean
+    mean = pred_mean + jnp.einsum("nij,nj->ni", k, innovation)
+    eye = jnp.eye(pred_cov.shape[-1], dtype=pred_cov.dtype)
+    cov = (eye - k) @ pred_cov
+    # Symmetrize for numerical stability under long scans (the (I-K)P form
+    # drifts asymmetric in fp32; this does not change the math).
+    cov = 0.5 * (cov + jnp.swapaxes(cov, -1, -2))
+    return mean, cov
+
+
+@dataclasses.dataclass(frozen=True)
+class VirtualSensorEKFDef(FilterDef):
+    dynamics_model: DynamicsDef
+    virtual_sensor_model: VirtualSensorDef
+    state_dim: int
+    control_dim: int = 7
+    obs_spec: ObsSpec = DEFAULT_OBS_SPEC
+
+    def init(self, key):
+        k_dyn, k_vs = jax.random.split(key)
+        return {
+            "dynamics_model": self.dynamics_model.init(k_dyn),
+            "virtual_sensor_model": self.virtual_sensor_model.init(k_vs),
+        }
+
+    def initialize_beliefs(self, params, key, mean, covariance, *, train: bool):
+        del params, key, train
+        return GaussianBelief(mean, covariance)
+
+    def measurement_initialize_beliefs(self, params, observations, *, key=None, train=False):
+        """Belief from the virtual sensor alone: mean = z, cov = R."""
+        z, r_tril = self.virtual_sensor_model.apply(
+            params["virtual_sensor_model"], observations
+        )
+        cov = r_tril @ jnp.swapaxes(r_tril, -1, -2)
+        return GaussianBelief(z, cov)
+
+    def predict(self, params, belief: GaussianBelief, controls):
+        """EKF predict step (exposed for fusion filters)."""
+        mean, cov = belief
+        dyn_params = params["dynamics_model"]
+
+        def mean_fn(s, c):
+            new, tril = self.dynamics_model.apply(dyn_params, s[None], c[None])
+            return new[0], (new[0], tril[0])
+
+        jac_fn = jax.jacfwd(mean_fn, has_aux=True)
+        f, (pred_mean, q_tril) = jax.vmap(jac_fn)(mean, controls)
+        q = q_tril @ jnp.swapaxes(q_tril, -1, -2)
+        pred_cov = f @ cov @ jnp.swapaxes(f, -1, -2) + q
+        return pred_mean, pred_cov
+
+    def step(
+        self,
+        params,
+        belief: GaussianBelief,
+        observations,
+        controls,
+        key,
+        *,
+        train: bool,
+        enabled: Optional[Tuple[bool, ...]] = None,
+    ):
+        del key, train
+        pred_mean, pred_cov = self.predict(params, belief, controls)
+        z, r_tril = self.virtual_sensor_model.apply(
+            params["virtual_sensor_model"], observations, enabled=enabled
+        )
+        mean, cov = _kalman_update(pred_mean, pred_cov, z, r_tril)
+        return GaussianBelief(mean, cov), mean

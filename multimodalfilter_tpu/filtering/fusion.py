@@ -1,0 +1,472 @@
+"""Multimodal fusion filters: crossmodal (learned-gate) and unimodal
+(precision-weighted) fusion of per-modality filters / measurement models.
+
+Capability parity with ``crossmodal/base_models/`` in the reference:
+  weighted_average            <- utility.py:4-11
+  CrossmodalPFMeasurementDef  <- crossmodal_pf.py:33-141
+  PFWeightDef                 <- crossmodal_pf.py:11-30 (+ blackout logic from
+                                 door_models/crossmodal_pf.py:98-104)
+  CrossmodalKFDef             <- crossmodal_kf.py:39-240 (+ blackout logic from
+                                 door_models/crossmodal_kf.py:43-98)
+  KFWeightDef                 <- crossmodal_kf.py:13-36
+  CrossmodalVirtualSensorDef  <- crossmodal_kf.py:243-359
+  UnimodalKFDef               <- unimodal_kf.py:118-270
+  UnimodalVirtualSensorDef    <- unimodal_kf.py:13-115
+
+Replicated effective-behavior quirks (deliberate, for RMSE parity — SURVEY §7
+"hard parts"):
+  * 1e-9 epsilons at the exact reference positions.
+  * CrossmodalVirtualSensor covariance multiplier = prod over modalities and
+    state dims of the weights (crossmodal_kf.py:346-354) — the cruder formula.
+  * UnimodalVirtualSensor "precision" = elementwise 1/(scale_tril + 1e-9)
+    (unimodal_kf.py:85), NOT a matrix inverse; and its second return value is
+    a *covariance* in the scale_tril slot (unimodal_kf.py:115) which the
+    downstream EKF squares — replicated literally.
+  * The PF fusion feeds RAW per-modality log-likelihoods into logsumexp; the
+    reference's max-normalization (crossmodal_pf.py:123-129) is computed and
+    then discarded, so we don't compute it at all.
+  * Blackout overrides use -1e9 instead of the reference's -inf
+    (door crossmodal_pf.py:104) to stay NaN-safe under jit/grad.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..types import GaussianBelief
+from .base import DEFAULT_OBS_SPEC, FilterDef, ObsSpec, example_observations
+from .ekf import VirtualSensorEKFDef
+
+_BLACKOUT_EPS = 1e-8
+_NEG_BIG = 1.0e9
+
+
+def weighted_average(predictions, weights):
+    """Normalize weights over the modality axis 0, weighted sum.
+
+    Matches crossmodal/base_models/utility.py:4-11.
+    """
+    assert predictions.shape == weights.shape
+    weights = weights / (jnp.sum(weights, axis=0) + 1e-9)
+    return jnp.sum(weights * predictions, axis=0)
+
+
+def _blackout_mask(observations) -> jnp.ndarray:
+    """(N,) bool: True where the image frame is all (near-)zero."""
+    image = observations["image"]
+    n = image.shape[0]
+    return jnp.sum(jnp.abs(image.reshape(n, -1)), axis=1) < _BLACKOUT_EPS
+
+
+def _normalize_enabled(enabled: Optional[Tuple[bool, ...]], count: int):
+    if enabled is None:
+        enabled = (True,) * count
+    assert len(enabled) == count and any(enabled)
+    return enabled
+
+
+# ---------------------------------------------------------------------------
+# Weight models
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class KFWeightDef:
+    """Gate over observations -> (modality_count, N, state_dim) weights,
+    normalized over modalities."""
+
+    net: Any  # KFWeightNet
+    state_dim: int
+    modality_count: int = 2
+    obs_spec: ObsSpec = DEFAULT_OBS_SPEC
+
+    def init(self, key):
+        return self.net.init(key, example_observations(self.obs_spec))["params"]
+
+    def apply(self, params, observations):
+        return self.net.apply({"params": params}, observations)
+
+
+@dataclasses.dataclass(frozen=True)
+class PFWeightDef:
+    """Gate over observations -> (N, modality_count) log-weights; optional
+    image-blackout override on modality 0."""
+
+    net: Any  # PFWeightNet
+    modality_count: int = 2
+    know_image_blackout: bool = False
+    obs_spec: ObsSpec = DEFAULT_OBS_SPEC
+
+    def init(self, key):
+        return self.net.init(key, example_observations(self.obs_spec))["params"]
+
+    def log_weights(self, params, observations):
+        out = self.net.apply({"params": params}, observations)
+        if self.know_image_blackout:
+            blackout = _blackout_mask(observations)
+            out = out.at[:, 0].add(jnp.where(blackout, -_NEG_BIG, 0.0))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Particle-filter fusion (measurement level)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class CrossmodalPFMeasurementDef:
+    """K per-modality log-likelihood models fused by
+    logsumexp(gate_log_weights + log_likelihoods) over the modality axis.
+
+    With crossmodal_weight_model=None, modalities are weighted equally
+    (plain logsumexp) — this is the "unimodal PF" of the reference
+    (crossmodal_pf.py:136-139, door_models/unimodal_pf.py:9-29).
+    """
+
+    measurement_models: Tuple[Any, ...]  # MeasurementDefs
+    crossmodal_weight_model: Optional[PFWeightDef]
+    state_dim: int
+
+    def init(self, key):
+        keys = jax.random.split(key, len(self.measurement_models) + 1)
+        params = {
+            "measurement_models": {
+                str(i): mm.init(keys[i])
+                for i, mm in enumerate(self.measurement_models)
+            }
+        }
+        if self.crossmodal_weight_model is not None:
+            params["crossmodal_weight_model"] = self.crossmodal_weight_model.init(
+                keys[-1]
+            )
+        return params
+
+    def log_likelihoods(
+        self, params, states, observations, enabled: Optional[Tuple[bool, ...]] = None
+    ):
+        enabled = _normalize_enabled(enabled, len(self.measurement_models))
+        # Static specialization: disabled modality networks are never traced.
+        lls = jnp.stack(
+            [
+                mm.log_likelihoods(
+                    params["measurement_models"][str(i)], states, observations
+                )
+                for i, mm in enumerate(self.measurement_models)
+                if enabled[i]
+            ],
+            axis=2,
+        )  # (N, M, K_enabled)
+
+        if self.crossmodal_weight_model is not None:
+            log_w = self.crossmodal_weight_model.log_weights(
+                params["crossmodal_weight_model"], observations
+            )  # (N, K)
+            log_w = log_w[:, jnp.array([i for i, e in enumerate(enabled) if e])]
+            return jax.scipy.special.logsumexp(log_w[:, None, :] + lls, axis=2)
+        return jax.scipy.special.logsumexp(lls, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Kalman-filter fusion (posterior level)
+# ---------------------------------------------------------------------------
+
+
+def _calculate_weighted_states(state_weights, unimodal_states, unimodal_covariances):
+    """Means: normalized weighted average. Covariances: sum_k (w w^T) ⊙ Σ_k
+    with RAW (unnormalized) weights — matches crossmodal_kf.py:153-167."""
+    weighted_states = weighted_average(unimodal_states, state_weights)
+    w_outer = state_weights[..., :, None] * state_weights[..., None, :]
+    weighted_covariances = jnp.sum(w_outer * unimodal_covariances, axis=0)
+    return weighted_states, weighted_covariances
+
+
+@dataclasses.dataclass(frozen=True)
+class CrossmodalKFDef(FilterDef):
+    """K per-modality virtual-sensor EKFs whose posteriors are mixed with
+    learned per-state-dim weights; the fused belief is written back into every
+    child (crossmodal_kf.py:147-149) — i.e. the fused Gaussian IS the single
+    recursion carry, and every child predicts from it.
+    """
+
+    filter_models: Tuple[VirtualSensorEKFDef, ...]
+    crossmodal_weight_model: KFWeightDef
+    state_dim: int
+    control_dim: int = 7
+    obs_spec: ObsSpec = DEFAULT_OBS_SPEC
+    know_image_blackout: bool = False
+
+    def init(self, key):
+        keys = jax.random.split(key, len(self.filter_models) + 1)
+        return {
+            "filter_models": {
+                str(i): fm.init(keys[i]) for i, fm in enumerate(self.filter_models)
+            },
+            "crossmodal_weight_model": self.crossmodal_weight_model.init(keys[-1]),
+        }
+
+    def initialize_beliefs(self, params, key, mean, covariance, *, train: bool):
+        del params, key, train
+        return GaussianBelief(mean, covariance)
+
+    def _child_posteriors(self, params, belief, observations, controls, enabled):
+        means, covs = [], []
+        for i, fm in enumerate(self.filter_models):
+            if not enabled[i]:
+                continue
+            child_belief, child_mean = fm.step(
+                params["filter_models"][str(i)],
+                belief,
+                observations,
+                controls,
+                key=None,
+                train=False,
+            )
+            means.append(child_mean)
+            covs.append(child_belief.cov)
+        return jnp.stack(means), jnp.stack(covs)  # (Ke,N,D), (Ke,N,D,D)
+
+    def step(
+        self,
+        params,
+        belief: GaussianBelief,
+        observations,
+        controls,
+        key,
+        *,
+        train: bool,
+        enabled: Optional[Tuple[bool, ...]] = None,
+    ):
+        del key, train
+        enabled = _normalize_enabled(enabled, len(self.filter_models))
+        unimodal_states, unimodal_covs = self._child_posteriors(
+            params, belief, observations, controls, enabled
+        )
+        n = unimodal_states.shape[1]
+
+        if not all(enabled):
+            # Indicator weights for the enabled subset (crossmodal_kf.py:124-134).
+            k_enabled = sum(enabled)
+            state_weights = jnp.ones((k_enabled, n, self.state_dim))
+        else:
+            state_weights = self.crossmodal_weight_model.apply(
+                params["crossmodal_weight_model"], observations
+            )
+            if self.know_image_blackout:
+                # Branchless equivalent of door crossmodal_kf.py:52-96: on
+                # all-zero image frames, force (1e-9, 1 - 1e-9); the formula
+                # reduces exactly to the gate output on non-blackout frames.
+                blackout = _blackout_mask(observations)[:, None]
+                image_w = jnp.where(blackout, 1e-9, state_weights[0])
+                force_w = jnp.where(blackout, 1.0 - 1e-9, state_weights[1])
+                state_weights = jnp.stack([image_w, force_w])
+
+        fused_mean, fused_cov = _calculate_weighted_states(
+            state_weights, unimodal_states, unimodal_covs
+        )
+        return GaussianBelief(fused_mean, fused_cov), fused_mean
+
+    def measurement_initialize_beliefs(
+        self, params, observations, *, key=None, train=False,
+        enabled: Optional[Tuple[bool, ...]] = None,
+    ):
+        """Belief from the children's virtual sensors + gate
+        (crossmodal_kf.py:208-240)."""
+        enabled = _normalize_enabled(enabled, len(self.filter_models))
+        zs, covs = [], []
+        for i, fm in enumerate(self.filter_models):
+            if not enabled[i]:
+                continue
+            z, tril = fm.virtual_sensor_model.apply(
+                params["filter_models"][str(i)]["virtual_sensor_model"], observations
+            )
+            zs.append(z)
+            covs.append(tril @ jnp.swapaxes(tril, -1, -2))
+        unimodal_states = jnp.stack(zs)
+        unimodal_covs = jnp.stack(covs)
+
+        state_weights = self.crossmodal_weight_model.apply(
+            params["crossmodal_weight_model"], observations
+        )
+        state_weights = state_weights[jnp.array([i for i, e in enumerate(enabled) if e])]
+
+        mean = weighted_average(unimodal_states, state_weights)
+        cov_multiplier = jnp.prod(jnp.prod(state_weights, axis=-1), axis=0)[
+            :, None, None
+        ]
+        cov = cov_multiplier * jnp.sum(unimodal_covs, axis=0)
+        return GaussianBelief(mean, cov)
+
+
+@dataclasses.dataclass(frozen=True)
+class UnimodalKFDef(FilterDef):
+    """K per-modality EKFs evolving INDEPENDENT beliefs (no write-back —
+    unimodal_kf.py:162-250 never fuses back into children), with
+    precision-weighted product-of-Gaussians output fusion."""
+
+    filter_models: Tuple[VirtualSensorEKFDef, ...]
+    state_dim: int
+    control_dim: int = 7
+    obs_spec: ObsSpec = DEFAULT_OBS_SPEC
+
+    def init(self, key):
+        keys = jax.random.split(key, len(self.filter_models))
+        return {
+            "filter_models": {
+                str(i): fm.init(keys[i]) for i, fm in enumerate(self.filter_models)
+            }
+        }
+
+    def initialize_beliefs(self, params, key, mean, covariance, *, train: bool):
+        del params, key, train
+        return tuple(GaussianBelief(mean, covariance) for _ in self.filter_models)
+
+    def step(
+        self,
+        params,
+        belief: Tuple[GaussianBelief, ...],
+        observations,
+        controls,
+        key,
+        *,
+        train: bool,
+        enabled: Optional[Tuple[bool, ...]] = None,
+    ):
+        del key, train
+        enabled = _normalize_enabled(enabled, len(self.filter_models))
+
+        new_beliefs = []
+        means, covs = [], []
+        for i, fm in enumerate(self.filter_models):
+            if enabled[i]:
+                child_belief, child_mean = fm.step(
+                    params["filter_models"][str(i)],
+                    belief[i],
+                    observations,
+                    controls,
+                    key=None,
+                    train=False,
+                )
+                new_beliefs.append(child_belief)
+                means.append(child_mean)
+                covs.append(child_belief.cov)
+            else:
+                new_beliefs.append(belief[i])  # disabled child: belief stale
+
+        if len(means) == 1:
+            fused_mean = means[0]
+        else:
+            unimodal_means = jnp.stack(means)  # (K, N, D)
+            unimodal_covs = jnp.stack(covs)  # (K, N, D, D)
+            # Literal replication of unimodal_kf.py:204-242: scalar 1e-9 added
+            # to every covariance entry before the matrix inverse.
+            precisions = jnp.linalg.inv(unimodal_covs + 1e-9)
+            fused_cov = jnp.linalg.inv(jnp.sum(precisions, axis=0) + 1e-9)
+            weighted_unnorm = jnp.sum(
+                jnp.einsum("knij,knj->kni", precisions, unimodal_means), axis=0
+            )
+            fused_mean = jnp.einsum("nij,nj->ni", fused_cov, weighted_unnorm)
+
+        return tuple(new_beliefs), fused_mean
+
+
+# ---------------------------------------------------------------------------
+# Virtual-sensor (measurement-level) fusion
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class CrossmodalVirtualSensorDef:
+    """K virtual sensors fused into one virtual measurement for a single EKF
+    (crossmodal_kf.py:243-359). Returns (mean, cholesky(fused_cov))."""
+
+    virtual_sensor_models: Tuple[Any, ...]  # VirtualSensorDefs
+    crossmodal_weight_model: KFWeightDef
+    state_dim: int
+    obs_spec: ObsSpec = DEFAULT_OBS_SPEC
+
+    def init(self, key):
+        keys = jax.random.split(key, len(self.virtual_sensor_models) + 1)
+        return {
+            # Param path name matches the reference attribute
+            # `virtual_sensor_model` (nn.ModuleList, crossmodal_kf.py:255).
+            "virtual_sensor_model": {
+                str(i): vs.init(keys[i])
+                for i, vs in enumerate(self.virtual_sensor_models)
+            },
+            "crossmodal_weight_model": self.crossmodal_weight_model.init(keys[-1]),
+        }
+
+    def apply(self, params, observations, enabled: Optional[Tuple[bool, ...]] = None):
+        enabled = _normalize_enabled(enabled, len(self.virtual_sensor_models))
+        zs, covs = [], []
+        for i, vs in enumerate(self.virtual_sensor_models):
+            if not enabled[i]:
+                continue
+            z, tril = vs.apply(params["virtual_sensor_model"][str(i)], observations)
+            zs.append(z)
+            covs.append(tril @ jnp.swapaxes(tril, -1, -2))
+        unimodal_states = jnp.stack(zs)
+        unimodal_covs = jnp.stack(covs)
+        n = unimodal_states.shape[1]
+
+        if not all(enabled):
+            state_weights = jnp.ones((sum(enabled), n, self.state_dim))
+        else:
+            state_weights = self.crossmodal_weight_model.apply(
+                params["crossmodal_weight_model"], observations
+            )
+
+        mean = weighted_average(unimodal_states, state_weights)
+        cov_multiplier = jnp.prod(jnp.prod(state_weights, axis=-1), axis=0)[
+            :, None, None
+        ]
+        cov = cov_multiplier * jnp.sum(unimodal_covs, axis=0)
+        return mean, jnp.linalg.cholesky(cov)
+
+
+@dataclasses.dataclass(frozen=True)
+class UnimodalVirtualSensorDef:
+    """K virtual sensors fused by (elementwise-reciprocal) precision weighting
+    (unimodal_kf.py:13-115). NOTE: replicates the reference's literal return
+    of a covariance (not a scale_tril) in the multi-modality path."""
+
+    virtual_sensor_models: Tuple[Any, ...]
+    state_dim: int
+    obs_spec: ObsSpec = DEFAULT_OBS_SPEC
+
+    def init(self, key):
+        keys = jax.random.split(key, len(self.virtual_sensor_models))
+        return {
+            "virtual_sensor_model": {
+                str(i): vs.init(keys[i])
+                for i, vs in enumerate(self.virtual_sensor_models)
+            }
+        }
+
+    def apply(self, params, observations, enabled: Optional[Tuple[bool, ...]] = None):
+        enabled = _normalize_enabled(enabled, len(self.virtual_sensor_models))
+        zs, trils = [], []
+        for i, vs in enumerate(self.virtual_sensor_models):
+            if not enabled[i]:
+                continue
+            z, tril = vs.apply(params["virtual_sensor_model"][str(i)], observations)
+            zs.append(z)
+            trils.append(tril)
+        unimodal_states = jnp.stack(zs)
+        unimodal_trils = jnp.stack(trils)
+        unimodal_covs = unimodal_trils @ jnp.swapaxes(unimodal_trils, -1, -2)
+
+        if len(zs) == 1:
+            # Literal unimodal_kf.py:81-83: returns the covariance.
+            return unimodal_states[0], unimodal_covs[0]
+
+        # Elementwise "precision" (unimodal_kf.py:85) — replicated literally.
+        precisions = 1.0 / (unimodal_trils + 1e-9)
+        weights = jnp.diagonal(precisions, axis1=-2, axis2=-1)  # (K, N, D)
+        mean = weighted_average(unimodal_states, weights)
+        cov = jnp.linalg.inv(jnp.sum(precisions, axis=0) + 1e-9)
+        return mean, cov

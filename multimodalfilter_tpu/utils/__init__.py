@@ -1,0 +1,8 @@
+from .conversions import to_device, to_numpy  # noqa: F401
+from .pytree import (  # noqa: F401
+    get_by_path,
+    set_by_path,
+    path_matches_prefix,
+    torch_path_segments,
+)
+from .slice_wrapper import SliceWrapper  # noqa: F401
