@@ -1,0 +1,188 @@
+"""Experiment manager: checkpoints, metadata, named optimizers, logging.
+
+Capability parity with ``fannypack.utils.Buddy`` as used by the reference
+(SURVEY §2.4 row "Buddy"): labeled checkpoints per curriculum phase,
+submodule-level checkpoint surgery (``load_checkpoint_module`` —
+scripts/door_task/train_door.py:270-274, cross-experiment warm starts at
+train_door.py:122-124), a clearable dict of named optimizers
+(train_door.py:130,150,158), a JSON metadata store, and TensorBoard-style
+scalar logging.
+
+Checkpoints are flax-msgpack serialized pytrees:
+  {"params": <nested dict>, "steps": int, "optimizers": {name: state_dict}}
+Param dict keys mirror torch module paths, so the reference's dotted-path
+surgery addresses our pytrees verbatim.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from ..utils.pytree import get_by_path, set_by_path
+from .logging import MetricLogger
+
+DEFAULT_CHECKPOINT_DIR = "checkpoints"
+DEFAULT_METADATA_DIR = "metadata"
+DEFAULT_LOG_DIR = "logs"
+
+
+class Buddy:
+    def __init__(
+        self,
+        experiment_name: str,
+        model=None,
+        *,
+        checkpoint_dir: str = DEFAULT_CHECKPOINT_DIR,
+        metadata_dir: str = DEFAULT_METADATA_DIR,
+        log_dir: str = DEFAULT_LOG_DIR,
+        verbose: bool = True,
+    ):
+        self.experiment_name = experiment_name
+        self._checkpoint_dir = checkpoint_dir
+        self._metadata_dir = metadata_dir
+        self._verbose = verbose
+        self._model = None
+        self._metadata: Dict[str, Any] = {}
+        self._optimizer_dict: Dict[str, Any] = {}
+        self._steps = 0
+        self._logger = MetricLogger(log_dir, experiment_name)
+
+        os.makedirs(self._experiment_checkpoint_dir, exist_ok=True)
+        os.makedirs(metadata_dir, exist_ok=True)
+        self._load_metadata_file()
+
+        if model is not None:
+            self.attach_model(model)
+
+    # -- model ---------------------------------------------------------------
+    def attach_model(self, model) -> None:
+        self._model = model
+
+    @property
+    def model(self):
+        assert self._model is not None, "No model attached"
+        return self._model
+
+    @property
+    def device(self):
+        return jax.devices()[0]
+
+    # -- optimizer steps counter ----------------------------------------------
+    @property
+    def optimizer_steps(self) -> int:
+        return self._steps
+
+    def increment_steps(self, n: int = 1) -> None:
+        self._steps += n
+
+    # -- metadata --------------------------------------------------------------
+    @property
+    def metadata(self) -> Dict[str, Any]:
+        return self._metadata
+
+    def set_metadata(self, content: Dict[str, Any]) -> None:
+        self._metadata = dict(content)
+        self._write_metadata_file()
+
+    def add_metadata(self, content: Dict[str, Any]) -> None:
+        self._metadata.update(content)
+        self._write_metadata_file()
+
+    @property
+    def _metadata_path(self) -> str:
+        return os.path.join(self._metadata_dir, f"{self.experiment_name}.json")
+
+    def _write_metadata_file(self) -> None:
+        with open(self._metadata_path, "w") as f:
+            json.dump(self._metadata, f, indent=2, default=str)
+
+    def _load_metadata_file(self) -> None:
+        if os.path.exists(self._metadata_path):
+            with open(self._metadata_path) as f:
+                self._metadata = json.load(f)
+
+    # -- checkpoints -------------------------------------------------------------
+    @property
+    def _experiment_checkpoint_dir(self) -> str:
+        return os.path.join(self._checkpoint_dir, self.experiment_name)
+
+    def _checkpoint_path(
+        self, label: Optional[str], experiment_name: Optional[str] = None
+    ) -> str:
+        name = experiment_name or self.experiment_name
+        label = label if label is not None else f"{self._steps:016d}"
+        return os.path.join(self._checkpoint_dir, name, f"{label}.ckpt")
+
+    def save_checkpoint(self, label: Optional[str] = None) -> str:
+        state = {
+            "params": jax.device_get(self.model.params),
+            "steps": self._steps,
+            "optimizers": {
+                name: serialization.to_state_dict(opt["state"])
+                for name, opt in self._optimizer_dict.items()
+            },
+        }
+        path = self._checkpoint_path(label)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(state))
+        if self._verbose:
+            print(f"[buddy] saved checkpoint: {path}")
+        return path
+
+    def _read_checkpoint(
+        self, label: Optional[str], experiment_name: Optional[str] = None
+    ) -> Dict[str, Any]:
+        path = self._checkpoint_path(label, experiment_name)
+        if not os.path.exists(path) and label is None:
+            # Fall back to latest checkpoint in the experiment dir.
+            exp_dir = os.path.join(
+                self._checkpoint_dir, experiment_name or self.experiment_name
+            )
+            candidates = sorted(
+                p for p in os.listdir(exp_dir) if p.endswith(".ckpt")
+            ) if os.path.isdir(exp_dir) else []
+            assert candidates, f"No checkpoints found in {exp_dir}"
+            path = os.path.join(exp_dir, candidates[-1])
+        with open(path, "rb") as f:
+            state = serialization.msgpack_restore(f.read())
+        if self._verbose:
+            print(f"[buddy] read checkpoint: {path}")
+        return state
+
+    def load_checkpoint(
+        self, label: Optional[str] = None, experiment_name: Optional[str] = None
+    ) -> None:
+        state = self._read_checkpoint(label, experiment_name)
+        self.model.params = jax.tree_util.tree_map(np.asarray, state["params"])
+        self._steps = int(state.get("steps", 0))
+
+    def load_checkpoint_module(
+        self,
+        source: str,
+        target: Optional[str] = None,
+        label: Optional[str] = None,
+        experiment_name: Optional[str] = None,
+    ) -> None:
+        """Copy one submodule's parameters from a checkpoint into the attached
+        model, addressed by torch-style dotted paths
+        (e.g. "filter_models.0.dynamics_model")."""
+        state = self._read_checkpoint(label, experiment_name)
+        subtree = get_by_path(state["params"], source)
+        subtree = jax.tree_util.tree_map(np.asarray, subtree)
+        self.model.params = set_by_path(self.model.params, target or source, subtree)
+        if self._verbose:
+            print(f"[buddy] loaded module {source!r} -> {target or source!r}")
+
+    # -- logging -------------------------------------------------------------
+    def log_scope(self, scope: str):
+        return self._logger.log_scope(scope)
+
+    def log_scalar(self, name: str, value: float) -> None:
+        self._logger.log_scalar(name, value, step=self._steps)

@@ -383,27 +383,27 @@ class CrossmodalVirtualSensorDef:
     """K virtual sensors fused into one virtual measurement for a single EKF
     (crossmodal_kf.py:243-359). Returns (mean, cholesky(fused_cov))."""
 
-    virtual_sensor_models: Tuple[Any, ...]  # VirtualSensorDefs
+    virtual_sensor_model: Tuple[Any, ...]  # VirtualSensorDefs (tuple; reference attr is a ModuleList named singular)
     crossmodal_weight_model: KFWeightDef
     state_dim: int
     obs_spec: ObsSpec = DEFAULT_OBS_SPEC
 
     def init(self, key):
-        keys = jax.random.split(key, len(self.virtual_sensor_models) + 1)
+        keys = jax.random.split(key, len(self.virtual_sensor_model) + 1)
         return {
             # Param path name matches the reference attribute
             # `virtual_sensor_model` (nn.ModuleList, crossmodal_kf.py:255).
             "virtual_sensor_model": {
                 str(i): vs.init(keys[i])
-                for i, vs in enumerate(self.virtual_sensor_models)
+                for i, vs in enumerate(self.virtual_sensor_model)
             },
             "crossmodal_weight_model": self.crossmodal_weight_model.init(keys[-1]),
         }
 
     def apply(self, params, observations, enabled: Optional[Tuple[bool, ...]] = None):
-        enabled = _normalize_enabled(enabled, len(self.virtual_sensor_models))
+        enabled = _normalize_enabled(enabled, len(self.virtual_sensor_model))
         zs, covs = [], []
-        for i, vs in enumerate(self.virtual_sensor_models):
+        for i, vs in enumerate(self.virtual_sensor_model):
             if not enabled[i]:
                 continue
             z, tril = vs.apply(params["virtual_sensor_model"][str(i)], observations)
@@ -434,23 +434,23 @@ class UnimodalVirtualSensorDef:
     (unimodal_kf.py:13-115). NOTE: replicates the reference's literal return
     of a covariance (not a scale_tril) in the multi-modality path."""
 
-    virtual_sensor_models: Tuple[Any, ...]
+    virtual_sensor_model: Tuple[Any, ...]
     state_dim: int
     obs_spec: ObsSpec = DEFAULT_OBS_SPEC
 
     def init(self, key):
-        keys = jax.random.split(key, len(self.virtual_sensor_models))
+        keys = jax.random.split(key, len(self.virtual_sensor_model))
         return {
             "virtual_sensor_model": {
                 str(i): vs.init(keys[i])
-                for i, vs in enumerate(self.virtual_sensor_models)
+                for i, vs in enumerate(self.virtual_sensor_model)
             }
         }
 
     def apply(self, params, observations, enabled: Optional[Tuple[bool, ...]] = None):
-        enabled = _normalize_enabled(enabled, len(self.virtual_sensor_models))
+        enabled = _normalize_enabled(enabled, len(self.virtual_sensor_model))
         zs, trils = [], []
-        for i, vs in enumerate(self.virtual_sensor_models):
+        for i, vs in enumerate(self.virtual_sensor_model):
             if not enabled[i]:
                 continue
             z, tril = vs.apply(params["virtual_sensor_model"][str(i)], observations)

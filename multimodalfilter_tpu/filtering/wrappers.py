@@ -1,0 +1,348 @@
+"""Imperative wrappers over the functional filter defs.
+
+The reference exposes stateful torch modules (``filter_model.forward(...)``
+mutates beliefs in-place; ``model.train()/eval()`` toggles particle counts;
+``enabled_models`` is a mutable attribute). This module provides that exact
+API surface (so the reference's scripts/curricula port over line-for-line)
+while all compute stays in jitted pure functions of (params, belief).
+
+- ``StatefulFilter`` holds {params, belief, rng, train-mode, enabled mask,
+  frozen paths} and dispatches to cached jitted functions specialized on the
+  static config (train mode, enabled tuple).
+- ``ModuleHandle`` is a lightweight view of a submodule (e.g.
+  ``filter_model.filter_models[0].dynamics_model``): it carries the dotted
+  param path and the sub-definition, which is all the train loops and
+  freeze/checkpoint-surgery utilities need.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import GaussianBelief
+from ..utils.conversions import to_device
+from ..utils.pytree import get_by_path
+
+_FUSION_FIELDS = ("filter_models", "measurement_models", "virtual_sensor_model")
+
+
+def _fusion_count(definition) -> Optional[int]:
+    """Number of fused per-modality models, searching one level deep
+    (e.g. a PF whose measurement model is a crossmodal fusion)."""
+    if not dataclasses.is_dataclass(definition):
+        return None
+    for field in dataclasses.fields(definition):
+        value = getattr(definition, field.name)
+        if field.name in _FUSION_FIELDS and isinstance(value, tuple):
+            return len(value)
+        if dataclasses.is_dataclass(value):
+            nested = _fusion_count(value)
+            if nested is not None:
+                return nested
+    return None
+
+
+def _join(path: str, name: str) -> str:
+    return f"{path}.{name}" if path else name
+
+
+class ModuleHandle:
+    """View of a submodule of a StatefulFilter: (root, dotted path, sub-def)."""
+
+    def __init__(self, root: "StatefulFilter", path: str, definition):
+        self.root = root
+        self.path = path
+        self.definition = definition
+
+    # Torch-API compatibility shims -----------------------------------------
+    def train(self, mode: bool = True):
+        self.root.train(mode)
+
+    def eval(self):
+        self.root.train(False)
+
+    @property
+    def params(self):
+        return get_by_path(self.root.params, self.path)
+
+    @property
+    def state_dim(self):
+        return self.definition.state_dim
+
+    @property
+    def enabled_models(self) -> List[bool]:
+        return self.root.enabled_models
+
+    @enabled_models.setter
+    def enabled_models(self, value: List[bool]):
+        self.root.enabled_models = value
+
+    def __getattr__(self, name: str):
+        return _child_accessor(self.root, self.path, self.definition, name)
+
+    def __repr__(self):
+        return f"ModuleHandle({self.path!r}, {type(self.definition).__name__})"
+
+
+class _ListHandle:
+    """Handle over a tuple field (reference: nn.ModuleList)."""
+
+    def __init__(self, root, path: str, items: Tuple[Any, ...]):
+        self.root = root
+        self.path = path
+        self.items = items
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, index: int) -> ModuleHandle:
+        return ModuleHandle(self.root, _join(self.path, str(index)), self.items[index])
+
+    def __iter__(self):
+        return (self[i] for i in range(len(self)))
+
+
+def _child_accessor(root, path: str, definition, name: str):
+    if dataclasses.is_dataclass(definition):
+        for field in dataclasses.fields(definition):
+            if field.name == name:
+                value = getattr(definition, name)
+                child_path = _join(path, name)
+                if isinstance(value, tuple) and name in _FUSION_FIELDS:
+                    return _ListHandle(root, child_path, value)
+                if dataclasses.is_dataclass(value) and hasattr(value, "init"):
+                    return ModuleHandle(root, child_path, value)
+                return value
+    raise AttributeError(
+        f"{type(definition).__name__} has no submodule/attribute {name!r}"
+    )
+
+
+class StatefulFilter:
+    """Stateful facade over a FilterDef (torchfilter.base.Filter-equivalent)."""
+
+    def __init__(self, definition, seed: int = 0):
+        init_key, self._rng = jax.random.split(jax.random.PRNGKey(seed))
+        self.definition = definition
+        self.params = definition.init(init_key)
+        self._training = True
+        self._belief = None
+        self._fn_cache = {}
+        self.frozen_paths: set = set()
+        count = _fusion_count(definition)
+        self._enabled_models: Optional[List[bool]] = (
+            [True] * count if count else None
+        )
+
+    # -- mode / config --------------------------------------------------------
+    def train(self, mode: bool = True):
+        self._training = mode
+
+    def eval(self):
+        self.train(False)
+
+    @property
+    def training(self) -> bool:
+        return self._training
+
+    @property
+    def state_dim(self) -> int:
+        return self.definition.state_dim
+
+    @property
+    def enabled_models(self) -> Optional[List[bool]]:
+        return self._enabled_models
+
+    @enabled_models.setter
+    def enabled_models(self, value: List[bool]):
+        assert self._enabled_models is not None, "Not a fusion filter"
+        assert len(value) == len(self._enabled_models)
+        self._enabled_models = list(value)
+
+    @property
+    def _enabled_tuple(self) -> Optional[Tuple[bool, ...]]:
+        return tuple(self._enabled_models) if self._enabled_models else None
+
+    @property
+    def know_image_blackout(self) -> bool:
+        defn = self.definition
+        if hasattr(defn, "know_image_blackout"):
+            return defn.know_image_blackout
+        try:
+            gate = defn.measurement_model.crossmodal_weight_model
+            return bool(gate and gate.know_image_blackout)
+        except AttributeError:
+            return False
+
+    @know_image_blackout.setter
+    def know_image_blackout(self, value: bool):
+        """Reference scripts flip this attribute post-construction
+        (train_door.py:37-38); defs are frozen, so rebuild with the flag."""
+        defn = self.definition
+        if hasattr(defn, "know_image_blackout") and dataclasses.is_dataclass(defn):
+            self.definition = dataclasses.replace(defn, know_image_blackout=value)
+        else:
+            try:
+                gate = defn.measurement_model.crossmodal_weight_model
+            except AttributeError:
+                gate = None
+            if gate is not None:
+                new_mm = dataclasses.replace(
+                    defn.measurement_model,
+                    crossmodal_weight_model=dataclasses.replace(
+                        gate, know_image_blackout=value
+                    ),
+                )
+                self.definition = dataclasses.replace(defn, measurement_model=new_mm)
+        self._fn_cache.clear()
+
+    # -- submodule handles ------------------------------------------------------
+    def __getattr__(self, name: str):
+        # Only called when normal attribute lookup fails.
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return _child_accessor(self, "", self.__dict__["definition"], name)
+
+    # -- RNG ---------------------------------------------------------------------
+    def _next_key(self):
+        self._rng, key = jax.random.split(self._rng)
+        return key
+
+    # -- cached jitted entry points -----------------------------------------------
+    def _cache_key(self, kind: str, extra=()):
+        return (kind, self._training, self._enabled_tuple, id(self.definition)) + tuple(
+            extra
+        )
+
+    def _get_fn(self, kind: str, maker, extra=()):
+        key = self._cache_key(kind, extra)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = maker()
+        return self._fn_cache[key]
+
+    # -- torchfilter.base.Filter API ------------------------------------------------
+    @property
+    def belief(self):
+        return self._belief
+
+    @belief.setter
+    def belief(self, value):
+        self._belief = value
+
+    def initialize_beliefs(self, *, mean, covariance):
+        defn, train, enabled = self.definition, self._training, self._enabled_tuple
+        del enabled  # initialization is enabled-independent in all defs
+
+        def maker():
+            return jax.jit(
+                lambda params, key, mean, cov: defn.initialize_beliefs(
+                    params, key, mean, cov, train=train
+                )
+            )
+
+        fn = self._get_fn("init", maker)
+        self._belief = fn(
+            self.params, self._next_key(), to_device(mean), to_device(covariance)
+        )
+
+    def measurement_initialize_beliefs(self, observations):
+        defn, train, enabled = self.definition, self._training, self._enabled_tuple
+        assert hasattr(defn, "measurement_initialize_beliefs"), (
+            f"{type(defn).__name__} does not support measurement initialization"
+        )
+
+        def maker():
+            def fn(params, observations, key):
+                try:
+                    return defn.measurement_initialize_beliefs(
+                        params, observations, key=key, train=train, enabled=enabled
+                    )
+                except TypeError:
+                    return defn.measurement_initialize_beliefs(
+                        params, observations, key=key, train=train
+                    )
+
+            return jax.jit(fn)
+
+        fn = self._get_fn("measurement_init", maker)
+        self._belief = fn(self.params, to_device(observations), self._next_key())
+
+    def forward(self, *, observations, controls):
+        assert self._belief is not None, "Call initialize_beliefs first"
+        defn, train, enabled = self.definition, self._training, self._enabled_tuple
+
+        def maker():
+            return jax.jit(
+                lambda params, belief, obs, ctrl, key: defn.step(
+                    params, belief, obs, ctrl, key, train=train, enabled=enabled
+                )
+            )
+
+        fn = self._get_fn("step", maker)
+        self._belief, estimate = fn(
+            self.params,
+            self._belief,
+            to_device(observations),
+            to_device(controls),
+            self._next_key(),
+        )
+        return estimate
+
+    def forward_loop(self, *, observations, controls):
+        assert self._belief is not None, "Call initialize_beliefs first"
+        defn, train, enabled = self.definition, self._training, self._enabled_tuple
+
+        def maker():
+            return jax.jit(
+                lambda params, belief, obs, ctrl, key: defn.forward_loop(
+                    params, belief, obs, ctrl, key, train=train, enabled=enabled
+                )
+            )
+
+        fn = self._get_fn("loop", maker)
+        self._belief, estimates = fn(
+            self.params,
+            self._belief,
+            to_device(observations),
+            to_device(controls),
+            self._next_key(),
+        )
+        return estimates
+
+    # -- convenience -----------------------------------------------------------------
+    @property
+    def state_covariance_estimate(self):
+        """Fused covariance (reference: CrossmodalKalmanFilter.
+        state_covariance_estimate, crossmodal_kf.py:188-190)."""
+        if isinstance(self._belief, GaussianBelief):
+            return self._belief.cov
+        return None
+
+    @property
+    def weighted_covariances(self):
+        return self.state_covariance_estimate
+
+    def num_parameters(self) -> int:
+        return sum(
+            int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(self.params)
+        )
+
+
+def freeze_module(module) -> None:
+    """Mark a wrapper/handle's parameters as frozen for subsequent training
+    (capability parity with fannypack.utils.freeze_module — reference usage:
+    scripts/door_task/train_door.py:88,111,156-157)."""
+    root = module.root if isinstance(module, (ModuleHandle, _ListHandle)) else module
+    path = module.path if isinstance(module, (ModuleHandle, _ListHandle)) else ""
+    root.frozen_paths.add(path)
+
+
+def unfreeze_module(module) -> None:
+    root = module.root if isinstance(module, (ModuleHandle, _ListHandle)) else module
+    path = module.path if isinstance(module, (ModuleHandle, _ListHandle)) else ""
+    root.frozen_paths.discard(path)

@@ -1,0 +1,89 @@
+"""Data-parallel training over a device mesh.
+
+Two equivalent mechanisms are provided:
+
+- ``make_sharded_train_step``: GSPMD-style — a jitted step whose batch is
+  constrained to shard over the "data" mesh axis; XLA partitions the forward/
+  backward pass and inserts the gradient all-reduce over ICI automatically.
+- ``make_shardmap_train_step``: explicit ``shard_map`` with a hand-placed
+  ``psum`` for loss/grad reduction (per-device closures; useful when you want
+  manual control or to compose with Pallas collectives).
+
+Both keep parameters replicated (the models are tiny relative to HBM —
+SURVEY §2.5: DP over batch N is the strategy that maps onto this workload).
+"""
+
+from __future__ import annotations
+
+from typing import FrozenSet
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec
+
+from ..train.optim import zero_frozen_grads
+
+
+def shard_batch(batch, mesh, axis_name: str = "data"):
+    """Constrain every leaf of a batch pytree to shard along its leading
+    (batch) dimension."""
+
+    def constrain(a):
+        spec = PartitionSpec(axis_name, *([None] * (a.ndim - 1)))
+        return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(constrain, batch)
+
+
+def make_sharded_train_step(loss_fn, tx, frozen_paths: FrozenSet[str], mesh):
+    """Jitted SGD step with the batch sharded over the mesh's data axis."""
+
+    @jax.jit
+    def step(params, opt_state, data, idx, key):
+        batch = jax.tree_util.tree_map(lambda a: a[idx], data)
+        batch = shard_batch(batch, mesh)
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        grads = zero_frozen_grads(grads, frozen_paths)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_shardmap_train_step(
+    loss_fn, tx, frozen_paths: FrozenSet[str], mesh, axis_name: str = "data"
+):
+    """Explicit-collective variant: per-device grads averaged with psum."""
+    from jax.experimental.shard_map import shard_map
+
+    n_dev = mesh.shape[axis_name]
+
+    def per_device(params, batch, key):
+        # Per-device loss averaged globally with an explicit ICI collective.
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        loss = jax.lax.pmean(loss, axis_name)
+        grads = jax.lax.pmean(grads, axis_name)
+        return loss, grads
+
+    batch_spec = PartitionSpec(axis_name)
+    replicated = PartitionSpec()
+
+    @jax.jit
+    def step(params, opt_state, data, idx, key):
+        batch = jax.tree_util.tree_map(lambda a: a[idx], data)
+        loss, grads = shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(replicated, batch_spec, replicated),
+            out_specs=(replicated, replicated),
+            check_rep=False,
+        )(params, batch, key)
+        grads = zero_frozen_grads(grads, frozen_paths)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    del n_dev
+    return step

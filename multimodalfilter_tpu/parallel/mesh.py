@@ -1,0 +1,39 @@
+"""Device mesh helpers.
+
+The reference is single-device (SURVEY §2.5 — no distributed layer exists);
+parallelism here is *new* TPU enablement: the trajectory-batch axis N shards
+over a 1-D "data" mesh (the natural data-parallel axis for both training
+batches and eval trajectory batches), and the particle axis M stays on-chip
+(vmap/reshape). XLA inserts the ICI collectives from sharding annotations.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+
+def create_mesh(
+    n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)
+) -> Mesh:
+    """1-D (default) mesh over the first n devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.array(devices).reshape(shape), axis_names)
+
+
+def data_sharding(mesh: Mesh, ndim: int, axis: int = 0, axis_name: str = "data"):
+    """NamedSharding that splits dimension `axis` of an ndim-array over the
+    data axis of the mesh."""
+    spec = [None] * ndim
+    spec[axis] = axis_name
+    return NamedSharding(mesh, PartitionSpec(*spec))
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, PartitionSpec())

@@ -1,0 +1,324 @@
+"""Training loops.
+
+Capability parity with ``torchfilter.train.{train_dynamics_single_step,
+train_dynamics_recurrent, train_particle_filter_measurement,
+train_virtual_sensor, train_filter}`` (reference usage:
+crossmodal/train_helpers.py:30-162), redesigned for TPU:
+
+- The whole dataset is pushed to device once; each step gathers its batch on
+  device with an index array (no host dataloader workers).
+- One jitted train step per (loss kind, static config); jits are cached on
+  the Buddy keyed by the static config, so curriculum phases that repeat a
+  configuration reuse the compiled step.
+- Gaussian perturbations for measurement pretraining are generated on device
+  inside the step (TPU-side preprocessing).
+- Frozen modules are static: their grads are zeroed inside the step.
+
+Losses:
+  dynamics single-step / recurrent: MSE of predicted vs true next states
+  measurement pretraining:          MSE of predicted vs Gaussian log-density
+  virtual sensor:                   MSE of predicted z vs true state
+  e2e filter:                       MSE of filter estimates vs true states
+                                    (beliefs initialized at ground truth with
+                                    initial_cov_scale, or measurement init)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..utils.pytree import get_by_path
+from .optim import get_named_optimizer, zero_frozen_grads
+
+
+def _model_parts(model):
+    """(root wrapper, path prefix, sub definition) of a wrapper or handle."""
+    root = getattr(model, "root", model)
+    path = getattr(model, "path", "")
+    return root, path, model.definition
+
+
+def _sub_params(params, path: str):
+    return get_by_path(params, path) if path else params
+
+
+def _device_arrays(**arrays):
+    return {k: jax.device_put(v) for k, v in arrays.items() if v is not None}
+
+
+def _gather(tree, idx):
+    return jax.tree_util.tree_map(lambda a: a[idx], tree)
+
+
+def _epoch_index_batches(rng: np.random.Generator, n: int, batch_size: int, drop_last=True):
+    perm = rng.permutation(n)
+    end = n - (n % batch_size) if drop_last else n
+    for start in range(0, max(end, 0), batch_size):
+        yield perm[start : start + batch_size]
+
+
+def _run_epochs(buddy, root, step_fn, opt, data, n, *, epochs, batch_size, loss_name):
+    rng = np.random.default_rng(buddy.optimizer_steps + 1)
+    last_loss = None
+    for _ in range(epochs):
+        losses = []
+        for idx in _epoch_index_batches(rng, n, batch_size):
+            key = root._next_key()
+            root.params, opt["state"], loss = step_fn(
+                root.params, opt["state"], data, jnp.asarray(idx), key
+            )
+            buddy.increment_steps()
+            losses.append(loss)
+        if losses:
+            last_loss = float(jnp.mean(jnp.stack(losses)))
+            buddy.log_scalar(f"train/{loss_name}", last_loss)
+    return last_loss
+
+
+def _make_step(buddy, root, loss_fn, optimizer_name, cache_extra):
+    """Build (or fetch) the jitted sgd step for a loss function."""
+    frozen = frozenset(root.frozen_paths)
+    cache_key = ("step", optimizer_name, frozen, cache_extra)
+    if not hasattr(buddy, "_jit_cache"):
+        buddy._jit_cache = {}
+    if cache_key in buddy._jit_cache:
+        return buddy._jit_cache[cache_key]
+
+    opt = get_named_optimizer(buddy, optimizer_name, root.params)
+    tx = opt["tx"]
+
+    @jax.jit
+    def step(params, opt_state, data, idx, key):
+        batch = _gather(data, idx)
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        grads = zero_frozen_grads(grads, frozen)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    buddy._jit_cache[cache_key] = step
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Dynamics
+# ---------------------------------------------------------------------------
+
+
+def train_dynamics_single_step(
+    buddy, model, dataset, *, epochs, batch_size=32,
+    optimizer_name="train_dynamics_single_step",
+):
+    root, path, defn = _model_parts(model)
+    dyn = defn.dynamics_model
+    dyn_path = f"{path}.dynamics_model" if path else "dynamics_model"
+
+    def loss_fn(params, batch, key):
+        del key
+        pred, _ = dyn.apply(
+            _sub_params(params, dyn_path), batch["prev"], batch["controls"]
+        )
+        return jnp.mean((pred - batch["next"]) ** 2)
+
+    data = _device_arrays(
+        prev=dataset.previous_states, next=dataset.states, controls=dataset.controls
+    )
+    step = _make_step(buddy, root, loss_fn, optimizer_name, ("dyn1", dyn_path, batch_size))
+    return _run_epochs(
+        buddy, root, step, buddy._optimizer_dict[optimizer_name], data,
+        len(dataset), epochs=epochs, batch_size=batch_size, loss_name="dynamics_single_step",
+    )
+
+
+def train_dynamics_recurrent(
+    buddy, model, dataset, *, epochs, batch_size=32,
+    optimizer_name="train_dynamics_recurrent",
+):
+    root, path, defn = _model_parts(model)
+    dyn = defn.dynamics_model
+    dyn_path = f"{path}.dynamics_model" if path else "dynamics_model"
+    seq_len = dataset.subsequence_length
+
+    def loss_fn(params, batch, key):
+        del key
+        states = jnp.swapaxes(batch["states"], 0, 1)  # (L, B, D)
+        controls = jnp.swapaxes(batch["controls"], 0, 1)
+        pred, _ = dyn.forward_loop(
+            _sub_params(params, dyn_path), states[0], controls[1:]
+        )
+        return jnp.mean((pred - states[1:]) ** 2)
+
+    data = _device_arrays(states=dataset.states, controls=dataset.controls)
+    step = _make_step(
+        buddy, root, loss_fn, optimizer_name, ("dynR", dyn_path, seq_len, batch_size)
+    )
+    return _run_epochs(
+        buddy, root, step, buddy._optimizer_dict[optimizer_name], data,
+        len(dataset), epochs=epochs, batch_size=batch_size, loss_name="dynamics_recurrent",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Measurement / virtual sensor pretraining
+# ---------------------------------------------------------------------------
+
+
+def train_pf_measurement(
+    buddy, model, dataset, *, epochs, batch_size,
+    optimizer_name="train_measurement",
+):
+    """Pretrain the PF measurement model to regress the Gaussian log-density
+    of states perturbed around ground truth (covariance from the dataset).
+    Perturbations + targets are generated on device each step."""
+    root, path, defn = _model_parts(model)
+    mm = defn.measurement_model
+    mm_path = f"{path}.measurement_model" if path else "measurement_model"
+    enabled = root._enabled_tuple
+    cov = jnp.asarray(dataset.covariance)
+    chol = jnp.linalg.cholesky(cov)
+    # Gaussian log-normalizer: -0.5 (D log(2π) + log det Σ)
+    d = cov.shape[0]
+    log_norm = -0.5 * (d * jnp.log(2 * jnp.pi) + 2.0 * jnp.sum(jnp.log(jnp.diag(chol))))
+
+    def loss_fn(params, batch, key):
+        states = batch["states"]  # (B, D)
+        eps = jax.random.normal(key, states.shape)
+        noise = eps @ chol.T
+        noisy = states + noise
+        # log N(noisy; states, Σ): solve via the Cholesky factor.
+        white = jax.scipy.linalg.solve_triangular(chol, noise.T, lower=True).T
+        target = log_norm - 0.5 * jnp.sum(white**2, axis=-1)
+        pred = mm.log_likelihoods(
+            _sub_params(params, mm_path), noisy[:, None, :], batch["obs"],
+            enabled=enabled,
+        )[:, 0]
+        return jnp.mean((pred - target) ** 2)
+
+    data = {
+        "states": jax.device_put(dataset.states),
+        "obs": jax.device_put(dataset.observations),
+    }
+    n_pairs = dataset.states.shape[0]
+    step = _make_step(
+        buddy, root, loss_fn, optimizer_name, ("pfmeas", mm_path, enabled, batch_size)
+    )
+    # Epoch length matches the reference's samples_per_pair expansion.
+    epochs_effective = epochs * dataset.samples_per_pair
+    return _run_epochs(
+        buddy, root, step, buddy._optimizer_dict[optimizer_name], data,
+        n_pairs, epochs=epochs_effective, batch_size=batch_size, loss_name="pf_measurement",
+    )
+
+
+def train_virtual_sensor(
+    buddy, model, dataset, *, epochs, batch_size=32,
+    optimizer_name="train_virtual_sensor",
+):
+    root, path, defn = _model_parts(model)
+    vs = defn.virtual_sensor_model
+    vs_path = f"{path}.virtual_sensor_model" if path else "virtual_sensor_model"
+    enabled = root._enabled_tuple
+
+    def loss_fn(params, batch, key):
+        del key
+        z, _ = vs.apply(_sub_params(params, vs_path), batch["obs"], enabled=enabled)
+        return jnp.mean((z - batch["next"]) ** 2)
+
+    data = {
+        "next": jax.device_put(dataset.states),
+        "obs": jax.device_put(dataset.observations),
+    }
+    step = _make_step(
+        buddy, root, loss_fn, optimizer_name, ("vs", vs_path, enabled, batch_size)
+    )
+    return _run_epochs(
+        buddy, root, step, buddy._optimizer_dict[optimizer_name], data,
+        len(dataset), epochs=epochs, batch_size=batch_size, loss_name="virtual_sensor",
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end filter training (BPTT through the scan)
+# ---------------------------------------------------------------------------
+
+
+def train_e2e(
+    buddy, model, dataset, *, epochs, batch_size=32, initial_cov_scale=0.1,
+    measurement_initialize=False, optimizer_name="train_filter_recurrent",
+    mesh=None,
+):
+    """BPTT through `subsequence_length` filter steps (torchfilter.train.
+    train_filter equivalent). Beliefs initialize at ground truth state[0]
+    with initial_cov_scale * I (crossmodal/train_helpers.py:124-162).
+
+    With `mesh`, the step is sharded data-parallel over the batch axis (see
+    parallel/data_parallel.py)."""
+    root, path, defn = _model_parts(model)
+    enabled = root._enabled_tuple
+    seq_len = dataset.subsequence_length
+    state_dim = defn.state_dim
+
+    def loss_fn(params, batch, key):
+        sub = _sub_params(params, path)
+        states = jnp.swapaxes(batch["states"], 0, 1)  # (L, B, D)
+        controls = jnp.swapaxes(batch["controls"], 0, 1)
+        obs = jax.tree_util.tree_map(
+            lambda a: jnp.swapaxes(a, 0, 1), batch["obs"]
+        )
+        k_init, k_loop = jax.random.split(key)
+        b = states.shape[1]
+        if measurement_initialize:
+            obs0 = jax.tree_util.tree_map(lambda a: a[0], obs)
+            try:
+                belief = defn.measurement_initialize_beliefs(
+                    sub, obs0, key=k_init, train=True, enabled=enabled
+                )
+            except TypeError:
+                belief = defn.measurement_initialize_beliefs(
+                    sub, obs0, key=k_init, train=True
+                )
+        else:
+            cov = jnp.broadcast_to(
+                jnp.eye(state_dim) * initial_cov_scale, (b, state_dim, state_dim)
+            )
+            belief = defn.initialize_beliefs(sub, k_init, states[0], cov, train=True)
+        obs_rest = jax.tree_util.tree_map(lambda a: a[1:], obs)
+        _, estimates = defn.forward_loop(
+            sub, belief, obs_rest, controls[1:], k_loop, train=True, enabled=enabled
+        )
+        return jnp.mean((estimates - states[1:]) ** 2)
+
+    data = {
+        "states": jax.device_put(dataset.states),
+        "controls": jax.device_put(dataset.controls),
+        "obs": jax.device_put(dataset.observations),
+    }
+    cache_extra = (
+        "e2e", path, enabled, seq_len, batch_size, measurement_initialize,
+        initial_cov_scale, mesh is not None,
+    )
+    if mesh is not None:
+        from ..parallel.data_parallel import make_sharded_train_step
+
+        frozen = frozenset(root.frozen_paths)
+        opt = get_named_optimizer(buddy, optimizer_name, root.params)
+        cache_key = ("step", optimizer_name, frozen, cache_extra)
+        if not hasattr(buddy, "_jit_cache"):
+            buddy._jit_cache = {}
+        if cache_key not in buddy._jit_cache:
+            buddy._jit_cache[cache_key] = make_sharded_train_step(
+                loss_fn, opt["tx"], frozen, mesh
+            )
+        step = buddy._jit_cache[cache_key]
+    else:
+        step = _make_step(buddy, root, loss_fn, optimizer_name, cache_extra)
+
+    return _run_epochs(
+        buddy, root, step, buddy._optimizer_dict[optimizer_name], data,
+        len(dataset), epochs=epochs, batch_size=batch_size, loss_name="e2e",
+    )
