@@ -1,0 +1,274 @@
+"""Benchmark: filter-steps/sec/chip on the flagship door crossmodal particle
+filter at 100 particles (eval mode), per the north-star metric
+(BASELINE.json: >=20x PyTorch-CPU filter-steps/sec on TPU at 100-particle PF).
+
+Prints ONE JSON line:
+  {"metric": "filter_steps_per_sec_per_chip", "value": N, "unit": "steps/s",
+   "vs_baseline": N / <torch-CPU steps/s>}
+
+The baseline is an architecture-equivalent PyTorch-CPU implementation of the
+same recursion (dynamics propagation + 2 measurement models + gate +
+logsumexp fusion + multinomial resampling), timed in-process. One
+"filter-step" = one (trajectory, timestep) update, i.e. T*N steps per
+forward_loop call.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+PARTICLES = int(os.environ.get("BENCH_PARTICLES", "100"))
+TIMESTEPS = int(os.environ.get("BENCH_T", "100"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
+TORCH_STEPS = int(os.environ.get("BENCH_TORCH_STEPS", "10"))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# JAX/TPU measurement
+# ---------------------------------------------------------------------------
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from crossmodal.door_models import DoorCrossmodalParticleFilter
+
+    log(f"[bench] devices: {jax.devices()}")
+    model = DoorCrossmodalParticleFilter()
+    defn = dataclasses.replace(model.definition, num_particles_eval=PARTICLES)
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 5)
+    obs_seq = {
+        "image": jax.random.normal(ks[0], (TIMESTEPS, BATCH, 32, 32), jnp.float32),
+        "gripper_pos": jax.random.normal(ks[1], (TIMESTEPS, BATCH, 3), jnp.float32),
+        "gripper_sensors": jax.random.normal(
+            ks[2], (TIMESTEPS, BATCH, 7), jnp.float32
+        ),
+    }
+    controls_seq = jax.random.normal(ks[3], (TIMESTEPS, BATCH, 7), jnp.float32)
+    mean = jnp.zeros((BATCH, 3))
+    cov = jnp.broadcast_to(jnp.eye(3) * 0.1, (BATCH, 3, 3))
+    belief = defn.initialize_beliefs(model.params, ks[4], mean, cov, train=False)
+
+    @jax.jit
+    def run(params, belief, obs_seq, controls_seq, key):
+        _, estimates = defn.forward_loop(
+            params, belief, obs_seq, controls_seq, key,
+            train=False, enabled=(True, True),
+        )
+        return estimates
+
+    # Warm-up / compile.
+    t0 = time.perf_counter()
+    out = run(model.params, belief, obs_seq, controls_seq, key)
+    jax.block_until_ready(out)
+    log(f"[bench] compile+first run: {time.perf_counter() - t0:.1f}s")
+
+    times = []
+    for i in range(REPEATS):
+        # Vary the key per run: the TPU runtime caches identical executions.
+        k = jax.random.PRNGKey(i + 1)
+        t0 = time.perf_counter()
+        out = run(model.params, belief, obs_seq, controls_seq, k)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    steps_per_sec = TIMESTEPS * BATCH / best
+    log(
+        f"[bench] jax: {best * 1e3:.1f} ms / {TIMESTEPS}x{BATCH} steps "
+        f"-> {steps_per_sec:.0f} steps/s"
+    )
+    return steps_per_sec
+
+
+# ---------------------------------------------------------------------------
+# PyTorch-CPU baseline (architecture-equivalent)
+# ---------------------------------------------------------------------------
+
+
+def bench_torch() -> float:
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+
+    units, state_dim, control_dim = 64, 3, 7
+
+    class Resblock(nn.Module):
+        def __init__(self, units):
+            super().__init__()
+            self.block1 = nn.Linear(units, units)
+            self.block2 = nn.Linear(units, units)
+
+        def forward(self, x):
+            return x + torch.relu(self.block2(torch.relu(self.block1(x))))
+
+    class ConvResblock(nn.Module):
+        def __init__(self, ch):
+            super().__init__()
+            self.block1 = nn.Conv2d(ch, ch, 3, padding=1)
+            self.block2 = nn.Conv2d(ch, ch, 3, padding=1)
+
+        def forward(self, x):
+            return x + torch.relu(self.block2(torch.relu(self.block1(x))))
+
+    def mlp_encoder(in_dim):
+        return nn.Sequential(nn.Linear(in_dim, units), nn.ReLU(), Resblock(units))
+
+    def image_encoder():
+        return nn.Sequential(
+            nn.Conv2d(1, 32, 5, padding=2), nn.ReLU(), ConvResblock(32),
+            nn.Conv2d(32, 16, 3, padding=1), nn.ReLU(),
+            nn.Conv2d(16, 8, 3, padding=1), nn.Flatten(),
+            nn.Linear(8 * 32 * 32, units), nn.ReLU(), Resblock(units),
+        )
+
+    class Dynamics(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.state_enc = mlp_encoder(state_dim)
+            self.ctrl_enc = mlp_encoder(control_dim)
+            self.trunk = nn.Sequential(
+                nn.Linear(units * 2, units), Resblock(units), Resblock(units),
+                Resblock(units), nn.Linear(units, state_dim + 1),
+            )
+
+        def forward(self, s, c):
+            h = self.trunk(torch.cat([self.ctrl_enc(c), self.state_enc(s)], -1))
+            return s + h[..., :state_dim] * torch.sigmoid(h[..., -1:])
+
+    class Measurement(nn.Module):
+        def __init__(self, image: bool):
+            super().__init__()
+            self.image = image
+            self.obs_encs = nn.ModuleList(
+                [image_encoder()] if image else [mlp_encoder(3), mlp_encoder(7)]
+            )
+            n_obs = len(self.obs_encs)
+            self.state_enc = mlp_encoder(state_dim)
+            self.trunk = nn.Sequential(
+                nn.Linear(units * (n_obs + 1), units), nn.ReLU(),
+                Resblock(units), Resblock(units), nn.Linear(units, 1),
+            )
+
+        def forward(self, states, obs):
+            n, m, _ = states.shape
+            if self.image:
+                feats = [self.obs_encs[0](obs["image"][:, None])]
+            else:
+                feats = [
+                    self.obs_encs[0](obs["gripper_pos"]),
+                    self.obs_encs[1](obs["gripper_sensors"]),
+                ]
+            f = torch.cat(feats, -1)[:, None, :].expand(n, m, -1)
+            merged = torch.cat([f, self.state_enc(states)], -1)
+            return self.trunk(merged).squeeze(-1)
+
+    class Gate(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.img = image_encoder()
+            self.pos = mlp_encoder(3)
+            self.sens = mlp_encoder(7)
+            self.fusion = nn.Sequential(
+                nn.Linear(units * 3, units), nn.ReLU(),
+                Resblock(units), Resblock(units), Resblock(units),
+                nn.Linear(units, 2),
+            )
+
+        def forward(self, obs):
+            f = torch.cat(
+                [
+                    self.img(obs["image"][:, None]),
+                    self.pos(obs["gripper_pos"]),
+                    self.sens(obs["gripper_sensors"]),
+                ],
+                -1,
+            )
+            return self.fusion(f)
+
+    dynamics = Dynamics()
+    mm_image = Measurement(True)
+    mm_force = Measurement(False)
+    gate = Gate()
+    q_diag = torch.sqrt(torch.tensor([0.05, 0.01, 0.01])) / 8.0
+
+    n, m = BATCH, PARTICLES
+    particles = torch.randn(n, m, state_dim)
+    log_weights = torch.full((n, m), -np.log(m))
+
+    def step(particles, log_weights, obs, controls):
+        flat = particles.reshape(n * m, state_dim)
+        ctrl = controls.repeat_interleave(m, dim=0)
+        pred = dynamics(flat, ctrl) + torch.randn(n * m, state_dim) * q_diag
+        particles = pred.reshape(n, m, state_dim)
+        lls = torch.stack(
+            [mm_image(particles, obs), mm_force(particles, obs)], dim=2
+        )
+        lw = gate(obs)
+        log_weights = log_weights + torch.logsumexp(lw[:, None, :] + lls, dim=2)
+        log_weights = log_weights - torch.logsumexp(log_weights, dim=1, keepdim=True)
+        estimate = torch.einsum("nm,nmd->nd", log_weights.exp(), particles)
+        idx = torch.multinomial(log_weights.exp(), m, replacement=True)
+        particles = torch.gather(
+            particles, 1, idx[:, :, None].expand(n, m, state_dim)
+        )
+        log_weights = torch.full((n, m), -np.log(m))
+        return particles, log_weights, estimate
+
+    obs = {
+        "image": torch.randn(n, 32, 32),
+        "gripper_pos": torch.randn(n, 3),
+        "gripper_sensors": torch.randn(n, 7),
+    }
+    controls = torch.randn(n, 7)
+
+    with torch.no_grad():
+        # Warm-up.
+        particles, log_weights, _ = step(particles, log_weights, obs, controls)
+        t0 = time.perf_counter()
+        for _ in range(TORCH_STEPS):
+            particles, log_weights, _ = step(particles, log_weights, obs, controls)
+        elapsed = time.perf_counter() - t0
+
+    steps_per_sec = TORCH_STEPS * n / elapsed
+    log(
+        f"[bench] torch-cpu: {elapsed * 1e3:.1f} ms / {TORCH_STEPS}x{n} steps "
+        f"-> {steps_per_sec:.0f} steps/s"
+    )
+    return steps_per_sec
+
+
+def main():
+    jax_sps = bench_jax()
+    try:
+        torch_sps = bench_torch()
+    except Exception as exc:  # torch baseline is best-effort
+        log(f"[bench] torch baseline failed: {exc}")
+        torch_sps = None
+    vs_baseline = (jax_sps / torch_sps) if torch_sps else None
+    print(
+        json.dumps(
+            {
+                "metric": "filter_steps_per_sec_per_chip",
+                "value": round(jax_sps, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,23 @@ class MeasurementDef:
         del enabled  # single-modality-set model; fusion handled in fusion.py
         return self.net.apply({"params": params}, states, observations)
 
+    # Precompute API: observation encoders are carry-independent, so the
+    # filter scan hoists them into one big (T*N)-batched pass (TPU: turns T
+    # small CNN launches into one MXU-friendly batch).
+    def encode_observations(
+        self, params: Params, observations, enabled: Optional[Tuple[bool, ...]] = None
+    ):
+        del enabled
+        return self.net.apply({"params": params}, observations, method="encode_obs")
+
+    def log_likelihoods_from_features(
+        self, params: Params, states, features, enabled: Optional[Tuple[bool, ...]] = None
+    ):
+        del enabled
+        return self.net.apply(
+            {"params": params}, states, features, method="from_features"
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class VirtualSensorDef:

@@ -88,6 +88,12 @@ class VirtualSensorEKFDef(FilterDef):
         pred_cov = f @ cov @ jnp.swapaxes(f, -1, -2) + q
         return pred_mean, pred_cov
 
+    def update_from_virtual(self, params, belief: GaussianBelief, z, r_tril, controls):
+        """Predict + update given a precomputed virtual measurement."""
+        pred_mean, pred_cov = self.predict(params, belief, controls)
+        mean, cov = _kalman_update(pred_mean, pred_cov, z, r_tril)
+        return GaussianBelief(mean, cov), mean
+
     def step(
         self,
         params,
@@ -100,9 +106,51 @@ class VirtualSensorEKFDef(FilterDef):
         enabled: Optional[Tuple[bool, ...]] = None,
     ):
         del key, train
-        pred_mean, pred_cov = self.predict(params, belief, controls)
         z, r_tril = self.virtual_sensor_model.apply(
             params["virtual_sensor_model"], observations, enabled=enabled
         )
-        mean, cov = _kalman_update(pred_mean, pred_cov, z, r_tril)
-        return GaussianBelief(mean, cov), mean
+        return self.update_from_virtual(params, belief, z, r_tril, controls)
+
+    def precompute_virtual(self, params, observations_seq, enabled=None):
+        """Run the virtual sensor over all (T, N) frames as one batch —
+        it is carry-independent, so it never belongs inside the scan."""
+        leaf = jax.tree_util.tree_leaves(observations_seq)[0]
+        t, n = leaf.shape[:2]
+        flat_obs = jax.tree_util.tree_map(
+            lambda x: x.reshape((t * n,) + x.shape[2:]), observations_seq
+        )
+        z, r_tril = self.virtual_sensor_model.apply(
+            params["virtual_sensor_model"], flat_obs, enabled=enabled
+        )
+        return (
+            z.reshape((t, n) + z.shape[1:]),
+            r_tril.reshape((t, n) + r_tril.shape[1:]),
+        )
+
+    def forward_loop(
+        self,
+        params,
+        belief: GaussianBelief,
+        observations_seq,
+        controls_seq,
+        key,
+        *,
+        train: bool,
+        enabled: Optional[Tuple[bool, ...]] = None,
+    ):
+        """TPU-optimized unroll: virtual sensor hoisted out of the scan; the
+        scan body is pure small-matrix EKF algebra."""
+        del key, train
+        z_seq, r_seq = self.precompute_virtual(params, observations_seq, enabled)
+
+        def scan_step(carry, inputs):
+            z_t, r_t, ctrl_t = inputs
+            new_belief, mean = self.update_from_virtual(
+                params, carry, z_t, r_t, ctrl_t
+            )
+            return new_belief, mean
+
+        final_belief, estimates = jax.lax.scan(
+            scan_step, belief, (z_seq, r_seq, controls_seq)
+        )
+        return final_belief, estimates

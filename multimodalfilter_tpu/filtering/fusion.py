@@ -169,6 +169,45 @@ class CrossmodalPFMeasurementDef:
             return jax.scipy.special.logsumexp(log_w[:, None, :] + lls, axis=2)
         return jax.scipy.special.logsumexp(lls, axis=2)
 
+    # Precompute API (carry-independent parts hoisted out of the scan):
+    # features = per-enabled-model obs encodings + gate log-weights.
+    def encode_observations(
+        self, params, observations, enabled: Optional[Tuple[bool, ...]] = None
+    ):
+        enabled = _normalize_enabled(enabled, len(self.measurement_models))
+        features = {
+            str(i): mm.encode_observations(
+                params["measurement_models"][str(i)], observations
+            )
+            for i, mm in enumerate(self.measurement_models)
+            if enabled[i]
+        }
+        if self.crossmodal_weight_model is not None:
+            features["_log_weights"] = self.crossmodal_weight_model.log_weights(
+                params["crossmodal_weight_model"], observations
+            )
+        return features
+
+    def log_likelihoods_from_features(
+        self, params, states, features, enabled: Optional[Tuple[bool, ...]] = None
+    ):
+        enabled = _normalize_enabled(enabled, len(self.measurement_models))
+        lls = jnp.stack(
+            [
+                mm.log_likelihoods_from_features(
+                    params["measurement_models"][str(i)], states, features[str(i)]
+                )
+                for i, mm in enumerate(self.measurement_models)
+                if enabled[i]
+            ],
+            axis=2,
+        )
+        if self.crossmodal_weight_model is not None:
+            log_w = features["_log_weights"]
+            log_w = log_w[:, jnp.array([i for i, e in enumerate(enabled) if e])]
+            return jax.scipy.special.logsumexp(log_w[:, None, :] + lls, axis=2)
+        return jax.scipy.special.logsumexp(lls, axis=2)
+
 
 # ---------------------------------------------------------------------------
 # Kalman-filter fusion (posterior level)
@@ -268,6 +307,73 @@ class CrossmodalKFDef(FilterDef):
             state_weights, unimodal_states, unimodal_covs
         )
         return GaussianBelief(fused_mean, fused_cov), fused_mean
+
+    def forward_loop(
+        self,
+        params,
+        belief: GaussianBelief,
+        observations_seq,
+        controls_seq,
+        key,
+        *,
+        train: bool,
+        enabled: Optional[Tuple[bool, ...]] = None,
+    ):
+        """TPU-optimized unroll: per-child virtual sensors AND the gate are
+        carry-independent — both run once over all T*N frames; the scan body
+        is K small EKF updates + the weighted fusion."""
+        del key, train
+        enabled = _normalize_enabled(enabled, len(self.filter_models))
+        t, n = controls_seq.shape[:2]
+
+        virtuals = {}
+        for i, fm in enumerate(self.filter_models):
+            if enabled[i]:
+                z_seq, r_seq = fm.precompute_virtual(
+                    params["filter_models"][str(i)], observations_seq
+                )
+                virtuals[str(i)] = (z_seq, r_seq)
+
+        if not all(enabled):
+            weights_seq = jnp.ones((t, sum(enabled), n, self.state_dim))
+        else:
+            flat_obs = jax.tree_util.tree_map(
+                lambda x: x.reshape((t * n,) + x.shape[2:]), observations_seq
+            )
+            w = self.crossmodal_weight_model.apply(
+                params["crossmodal_weight_model"], flat_obs
+            )  # (K, T*N, D)
+            k = w.shape[0]
+            weights_seq = w.reshape(k, t, n, self.state_dim).transpose(1, 0, 2, 3)
+            if self.know_image_blackout:
+                blackout = _blackout_mask(
+                    {"image": flat_obs["image"]}
+                ).reshape(t, n, 1)
+                image_w = jnp.where(blackout, 1e-9, weights_seq[:, 0])
+                force_w = jnp.where(blackout, 1.0 - 1e-9, weights_seq[:, 1])
+                weights_seq = jnp.stack([image_w, force_w], axis=1)
+
+        def scan_step(carry, inputs):
+            virtuals_t, weights_t, ctrl_t = inputs
+            means, covs = [], []
+            for i, fm in enumerate(self.filter_models):
+                if not enabled[i]:
+                    continue
+                z_t, r_t = virtuals_t[str(i)]
+                child_belief, child_mean = fm.update_from_virtual(
+                    params["filter_models"][str(i)], carry, z_t, r_t, ctrl_t
+                )
+                means.append(child_mean)
+                covs.append(child_belief.cov)
+            fused_mean, fused_cov = _calculate_weighted_states(
+                weights_t, jnp.stack(means), jnp.stack(covs)
+            )
+            return GaussianBelief(fused_mean, fused_cov), fused_mean
+
+        final_belief, estimates = jax.lax.scan(
+            scan_step, belief, (virtuals, weights_seq, controls_seq)
+        )
+        return final_belief, estimates
 
     def measurement_initialize_beliefs(
         self, params, observations, *, key=None, train=False,
@@ -371,6 +477,63 @@ class UnimodalKFDef(FilterDef):
             fused_mean = jnp.einsum("nij,nj->ni", fused_cov, weighted_unnorm)
 
         return tuple(new_beliefs), fused_mean
+
+    def forward_loop(
+        self,
+        params,
+        belief: Tuple[GaussianBelief, ...],
+        observations_seq,
+        controls_seq,
+        key,
+        *,
+        train: bool,
+        enabled: Optional[Tuple[bool, ...]] = None,
+    ):
+        """TPU-optimized unroll: per-child virtual sensors hoisted out of the
+        scan; the scan body is K independent EKF updates + precision fusion."""
+        del key, train
+        enabled = _normalize_enabled(enabled, len(self.filter_models))
+
+        virtuals = {}
+        for i, fm in enumerate(self.filter_models):
+            if enabled[i]:
+                virtuals[str(i)] = fm.precompute_virtual(
+                    params["filter_models"][str(i)], observations_seq
+                )
+
+        def scan_step(carry, inputs):
+            virtuals_t, ctrl_t = inputs
+            new_beliefs = []
+            means, covs = [], []
+            for i, fm in enumerate(self.filter_models):
+                if enabled[i]:
+                    z_t, r_t = virtuals_t[str(i)]
+                    child_belief, child_mean = fm.update_from_virtual(
+                        params["filter_models"][str(i)], carry[i], z_t, r_t, ctrl_t
+                    )
+                    new_beliefs.append(child_belief)
+                    means.append(child_mean)
+                    covs.append(child_belief.cov)
+                else:
+                    new_beliefs.append(carry[i])
+
+            if len(means) == 1:
+                fused_mean = means[0]
+            else:
+                unimodal_means = jnp.stack(means)
+                unimodal_covs = jnp.stack(covs)
+                precisions = jnp.linalg.inv(unimodal_covs + 1e-9)
+                fused_cov = jnp.linalg.inv(jnp.sum(precisions, axis=0) + 1e-9)
+                weighted_unnorm = jnp.sum(
+                    jnp.einsum("knij,knj->kni", precisions, unimodal_means), axis=0
+                )
+                fused_mean = jnp.einsum("nij,nj->ni", fused_cov, weighted_unnorm)
+            return tuple(new_beliefs), fused_mean
+
+        final_belief, estimates = jax.lax.scan(
+            scan_step, belief, (virtuals, controls_seq)
+        )
+        return final_belief, estimates
 
 
 # ---------------------------------------------------------------------------

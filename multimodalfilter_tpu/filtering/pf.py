@@ -63,17 +63,12 @@ class ParticleFilterDef(FilterDef):
         log_weights = jnp.full((n, m), -jnp.log(m), dtype=mean.dtype)
         return ParticleBelief(particles, log_weights)
 
-    def step(
-        self,
-        params,
-        belief: ParticleBelief,
-        observations,
-        controls,
-        key,
-        *,
-        train: bool,
-        enabled: Optional[Tuple[bool, ...]] = None,
+    def _step_core(
+        self, params, belief, log_lik_fn, controls, key, *, train: bool
     ):
+        """One PF timestep given a log-likelihood closure over the propagated
+        particles. Shared by step (inline obs) and forward_loop (hoisted
+        obs-encoder features)."""
         particles, log_weights = belief
         n, m, d = particles.shape
         k_noise, k_resample = jax.random.split(key)
@@ -89,10 +84,7 @@ class ParticleFilterDef(FilterDef):
         particles = flat_new.reshape(n, m, d)
 
         # --- Measurement update ---
-        log_liks = self.measurement_model.log_likelihoods(
-            params["measurement_model"], particles, observations, enabled=enabled
-        )
-        log_weights = log_weights + log_liks
+        log_weights = log_weights + log_lik_fn(particles)
         log_weights = log_weights - jax.scipy.special.logsumexp(
             log_weights, axis=1, keepdims=True
         )
@@ -114,3 +106,68 @@ class ParticleFilterDef(FilterDef):
                 )
 
         return ParticleBelief(particles, log_weights), estimate
+
+    def step(
+        self,
+        params,
+        belief: ParticleBelief,
+        observations,
+        controls,
+        key,
+        *,
+        train: bool,
+        enabled: Optional[Tuple[bool, ...]] = None,
+    ):
+        def log_lik_fn(particles):
+            return self.measurement_model.log_likelihoods(
+                params["measurement_model"], particles, observations, enabled=enabled
+            )
+
+        return self._step_core(
+            params, belief, log_lik_fn, controls, key, train=train
+        )
+
+    def forward_loop(
+        self,
+        params,
+        belief: ParticleBelief,
+        observations_seq,
+        controls_seq,
+        key,
+        *,
+        train: bool,
+        enabled: Optional[Tuple[bool, ...]] = None,
+    ):
+        """TPU-optimized unroll: observation encoders (the CNN/MLP stacks —
+        where the FLOPs are) are carry-independent, so they run ONCE over all
+        T*N frames as one large batch before the scan; the scan body keeps
+        only the recursion (dynamics + per-particle trunk + resampling)."""
+        t, n = controls_seq.shape[:2]
+        flat_obs = jax.tree_util.tree_map(
+            lambda x: x.reshape((t * n,) + x.shape[2:]), observations_seq
+        )
+        features = self.measurement_model.encode_observations(
+            params["measurement_model"], flat_obs, enabled=enabled
+        )
+        features_seq = jax.tree_util.tree_map(
+            lambda x: x.reshape((t, n) + x.shape[1:]), features
+        )
+        keys = jax.random.split(key, t)
+
+        def scan_step(carry, inputs):
+            features_t, ctrl_t, key_t = inputs
+
+            def log_lik_fn(particles):
+                return self.measurement_model.log_likelihoods_from_features(
+                    params["measurement_model"], particles, features_t,
+                    enabled=enabled,
+                )
+
+            return self._step_core(
+                params, carry, log_lik_fn, ctrl_t, key_t, train=train
+            )
+
+        final_belief, estimates = jax.lax.scan(
+            scan_step, belief, (features_seq, controls_seq, keys)
+        )
+        return final_belief, estimates

@@ -136,6 +136,10 @@ class LogLikelihoodNet(nn.Module):
     """Particle-filter measurement model: per-particle log-likelihoods.
 
     __call__(states (N, M, D), observations dict) -> (N, M).
+
+    Split into ``encode_obs`` (particle/carry-independent — hoisted out of
+    the filter scan and batched over all T*N frames) and ``from_features``
+    (the per-particle trunk that stays inside the scan).
     """
 
     state_dim: int
@@ -143,32 +147,41 @@ class LogLikelihoodNet(nn.Module):
     units: int = 64
     spanning_avg_pool: bool = False
 
-    @nn.compact
-    def __call__(self, states, observations):
-        n, m, d = states.shape
-        assert d == self.state_dim
-
-        obs_features = _ObservationEncoders(
+    def setup(self):
+        self.obs_encoders = _ObservationEncoders(
             self.units,
             _check_modalities(self.modalities),
             self.spanning_avg_pool,
             name="obs_encoders",
-        )(observations)
-        num_mods = obs_features.shape[-1] // self.units
-        # Broadcast observation features across the particle axis.
-        obs_features = jnp.broadcast_to(
-            obs_features[:, None, :], (n, m, self.units * num_mods)
         )
+        self.state_layers = MLPEncoder(self.units, name="state_layers")
+        self.shared_dense_in = nn.Dense(self.units, name="shared_dense_in")
+        self.shared_resblock0 = LinearResblock(self.units, name="shared_resblock0")
+        self.shared_resblock1 = LinearResblock(self.units, name="shared_resblock1")
+        self.shared_dense_out = nn.Dense(1, name="shared_dense_out")
 
-        state_features = MLPEncoder(self.units, name="state_layers")(states)
+    def encode_obs(self, observations) -> jnp.ndarray:
+        """(N, ...) observations -> (N, units * num_modalities) features."""
+        return self.obs_encoders(observations)
+
+    def from_features(self, states, obs_features) -> jnp.ndarray:
+        """states (N, M, D) + obs features (N, F) -> log-likelihoods (N, M)."""
+        n, m, d = states.shape
+        assert d == self.state_dim
+        obs_features = jnp.broadcast_to(
+            obs_features[:, None, :], (n, m, obs_features.shape[-1])
+        )
+        state_features = self.state_layers(states)
         merged = jnp.concatenate([obs_features, state_features], axis=-1)
-
-        x = nn.Dense(self.units, name="shared_dense_in")(merged)
+        x = self.shared_dense_in(merged)
         x = nn.relu(x)
-        x = LinearResblock(self.units, name="shared_resblock0")(x)
-        x = LinearResblock(self.units, name="shared_resblock1")(x)
-        x = nn.Dense(1, name="shared_dense_out")(x)
+        x = self.shared_resblock0(x)
+        x = self.shared_resblock1(x)
+        x = self.shared_dense_out(x)
         return jnp.squeeze(x, axis=-1)
+
+    def __call__(self, states, observations):
+        return self.from_features(states, self.encode_obs(observations))
 
 
 class VirtualSensorNet(nn.Module):

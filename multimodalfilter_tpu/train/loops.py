@@ -86,10 +86,11 @@ def _make_step(buddy, root, loss_fn, optimizer_name, cache_extra):
     cache_key = ("step", optimizer_name, frozen, cache_extra)
     if not hasattr(buddy, "_jit_cache"):
         buddy._jit_cache = {}
+    # Ensure the named optimizer exists even on a jit-cache hit (scripts may
+    # have cleared _optimizer_dict between phases — train_door.py:130).
+    opt = get_named_optimizer(buddy, optimizer_name, root.params)
     if cache_key in buddy._jit_cache:
         return buddy._jit_cache[cache_key]
-
-    opt = get_named_optimizer(buddy, optimizer_name, root.params)
     tx = opt["tx"]
 
     @jax.jit

@@ -1,0 +1,47 @@
+"""Door-task eval CLI.
+
+Command-line parity with the reference ``scripts/door_task/eval_door.py``:
+a checkpoint + its metadata fully determine model reconstruction — the eval
+script never re-specifies the architecture (eval_door.py:25-32).
+"""
+
+import argparse
+
+import crossmodal
+from multimodalfilter_tpu.data import set_cache_path
+from multimodalfilter_tpu.experiments import Buddy
+
+Task = crossmodal.tasks.DoorTask
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--experiment-name", type=str, required=True)
+    parser.add_argument("--checkpoint-label", type=str, default=None)
+    parser.add_argument("--save", action="store_true")
+    parser.add_argument("--measurement_init", action="store_true")
+    args = parser.parse_args()
+
+    set_cache_path(crossmodal.__path__[0] + "/../.cache")
+
+    buddy = Buddy(args.experiment_name)
+    model_type = buddy.metadata["model_type"]
+    dataset_args = buddy.metadata["dataset_args"]
+
+    filter_model = Task.model_types[model_type]()
+    buddy.attach_model(filter_model)
+    buddy.load_checkpoint(label=args.checkpoint_label)
+
+    crossmodal.eval_helpers.configure(
+        buddy=buddy, task=Task, dataset_args=dataset_args
+    )
+    results = crossmodal.eval_helpers.run_eval_stats(
+        measurement_initialize=args.measurement_init
+    )
+
+    if args.save:
+        buddy.add_metadata({"eval_results_stats": results})
+
+
+if __name__ == "__main__":
+    main()
