@@ -69,19 +69,23 @@ def bench_jax() -> float:
         )
         return estimates
 
-    # Warm-up / compile.
+    # Warm-up / compile. NOTE: through the remote-TPU tunnel,
+    # block_until_ready does not reliably block and identical executions are
+    # cached — so every timed run varies the PRNG key AND forces completion
+    # with a host scalar fetch.
     t0 = time.perf_counter()
     out = run(model.params, belief, obs_seq, controls_seq, key)
-    jax.block_until_ready(out)
+    float(out.sum())
     log(f"[bench] compile+first run: {time.perf_counter() - t0:.1f}s")
+    out = run(model.params, belief, obs_seq, controls_seq, jax.random.PRNGKey(99))
+    float(out.sum())  # second warm-up (first fresh-input run pays transfers)
 
     times = []
     for i in range(REPEATS):
-        # Vary the key per run: the TPU runtime caches identical executions.
         k = jax.random.PRNGKey(i + 1)
         t0 = time.perf_counter()
         out = run(model.params, belief, obs_seq, controls_seq, k)
-        jax.block_until_ready(out)
+        float(out.sum())  # forces full execution + host roundtrip
         times.append(time.perf_counter() - t0)
     best = min(times)
     steps_per_sec = TIMESTEPS * BATCH / best

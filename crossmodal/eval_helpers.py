@@ -129,21 +129,22 @@ def run_eval(measurement_initialize=False, eval_dynamics=False) -> Dict[str, flo
         dyn_params = get_by_path(filter_model.params, "dynamics_model")
         loop = jax.jit(defn.forward_loop)
         predicted_states, _ = loop(dyn_params, states[0], controls[1:])
-        predicted_states.block_until_ready()
+        np.asarray(predicted_states)  # warm-up (host fetch forces completion)
         start = time.perf_counter()
         predicted_states, _ = loop(dyn_params, states[0], controls[1:])
-        predicted_states.block_until_ready()
-        elapsed = time.perf_counter() - start
         predicted_states = np.asarray(predicted_states)
+        elapsed = time.perf_counter() - start
     else:
         obs_rest = {k: v[1:] for k, v in observations.items()}
         start = time.perf_counter()
         predicted_states = filter_model.forward_loop(
             observations=obs_rest, controls=controls[1:]
         )
-        predicted_states.block_until_ready()
-        elapsed = time.perf_counter() - start
+        # np.asarray forces completion (block_until_ready is unreliable
+        # through the remote-TPU tunnel); the timed region therefore includes
+        # one device->host transfer of the estimates.
         predicted_states = np.asarray(predicted_states)
+        elapsed = time.perf_counter() - start
 
     assert predicted_states.shape == (t - 1, n, state_dim)
     filter_steps_per_sec = float((t - 1) * n / elapsed)

@@ -56,7 +56,7 @@ def make_shardmap_train_step(
     loss_fn, tx, frozen_paths: FrozenSet[str], mesh, axis_name: str = "data"
 ):
     """Explicit-collective variant: per-device grads averaged with psum."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_dev = mesh.shape[axis_name]
 
