@@ -96,15 +96,23 @@ class MeasurementDef:
         self, params: Params, observations, enabled: Optional[Tuple[bool, ...]] = None
     ):
         del enabled
-        return self.net.apply({"params": params}, observations, method="encode_obs")
+        if hasattr(self.net, "encode_obs"):
+            return self.net.apply(
+                {"params": params}, observations, method="encode_obs"
+            )
+        # Nets without an encode/trunk split (e.g. analytic test models):
+        # "features" degrade to the raw observations.
+        return observations
 
     def log_likelihoods_from_features(
         self, params: Params, states, features, enabled: Optional[Tuple[bool, ...]] = None
     ):
         del enabled
-        return self.net.apply(
-            {"params": params}, states, features, method="from_features"
-        )
+        if hasattr(self.net, "encode_obs"):
+            return self.net.apply(
+                {"params": params}, states, features, method="from_features"
+            )
+        return self.net.apply({"params": params}, states, features)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -40,6 +40,10 @@ class ParticleFilterDef(FilterDef):
     num_particles_eval: int = 300
     soft_resample_alpha: float = 1.0
     estimation_method: str = "weighted_average"
+    # Fuse weight-update + estimate + resample into one Pallas kernel
+    # (ops/pallas_pf.py). Bitwise-identical to the jnp path given the same
+    # key; opt-in (eval mode + multinomial resampling only).
+    pallas_resample: bool = False
 
     def num_particles(self, train: bool) -> int:
         # Matches DoorParticleFilter.train() (pf.py:24-27): 30 train, 300 eval.
@@ -84,7 +88,26 @@ class ParticleFilterDef(FilterDef):
         particles = flat_new.reshape(n, m, d)
 
         # --- Measurement update ---
-        log_weights = log_weights + log_lik_fn(particles)
+        log_liks = log_lik_fn(particles)
+
+        if (
+            not train
+            and self.pallas_resample
+            and self.soft_resample_alpha >= 1.0
+            and self.estimation_method == "weighted_average"
+        ):
+            # Fused Pallas path: normalize + estimate + resample in one
+            # VMEM-resident kernel.
+            from ..ops.pallas_pf import pf_update_and_resample
+
+            uniforms = jax.random.uniform(k_resample, (n, m))
+            interpret = jax.default_backend() != "tpu"
+            particles, log_weights, estimate = pf_update_and_resample(
+                log_weights, log_liks, particles, uniforms, interpret=interpret
+            )
+            return ParticleBelief(particles, log_weights), estimate
+
+        log_weights = log_weights + log_liks
         log_weights = log_weights - jax.scipy.special.logsumexp(
             log_weights, axis=1, keepdims=True
         )

@@ -78,7 +78,7 @@ def make_shardmap_train_step(
             mesh=mesh,
             in_specs=(replicated, batch_spec, replicated),
             out_specs=(replicated, replicated),
-            check_rep=False,
+            check_vma=False,
         )(params, batch, key)
         grads = zero_frozen_grads(grads, frozen_paths)
         updates, opt_state = tx.update(grads, opt_state, params)

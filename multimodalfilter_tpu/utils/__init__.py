@@ -1,4 +1,10 @@
 from .conversions import to_device, to_numpy  # noqa: F401
+from .debug import (  # noqa: F401
+    checkify_filter_step,
+    get_git_commit_hash,
+    pdb_safety_net,
+    profile_trace,
+)
 from .pytree import (  # noqa: F401
     get_by_path,
     set_by_path,

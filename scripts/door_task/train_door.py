@@ -14,6 +14,7 @@ import crossmodal
 from multimodalfilter_tpu.data import set_cache_path
 from multimodalfilter_tpu.experiments import Buddy
 from multimodalfilter_tpu.filtering.wrappers import freeze_module, unfreeze_module
+from multimodalfilter_tpu.utils import get_git_commit_hash, pdb_safety_net
 
 Task = crossmodal.tasks.DoorTask
 
@@ -32,6 +33,7 @@ def main():
     dataset_args = Task.get_dataset_args(args)
 
     set_cache_path(crossmodal.__path__[0] + "/../.cache")
+    pdb_safety_net()
 
     # Create model + buddy, persist experiment metadata.
     filter_model = Task.model_types[model_type]()
@@ -45,6 +47,7 @@ def main():
             "train_start_time": datetime.datetime.now().strftime(
                 "%b %d, %Y @ %-H:%M:%S"
             ),
+            "commit_hash": get_git_commit_hash(crossmodal.__file__),
             "notes": args.notes,
         }
     )

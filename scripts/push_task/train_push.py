@@ -16,6 +16,7 @@ import crossmodal
 from multimodalfilter_tpu.data import set_cache_path
 from multimodalfilter_tpu.experiments import Buddy
 from multimodalfilter_tpu.filtering.wrappers import freeze_module, unfreeze_module
+from multimodalfilter_tpu.utils import get_git_commit_hash, pdb_safety_net
 
 Task = crossmodal.tasks.PushTask
 
@@ -34,6 +35,7 @@ def main():
     dataset_args = Task.get_dataset_args(args)
 
     set_cache_path(crossmodal.__path__[0] + "/../.cache")
+    pdb_safety_net()
 
     train_trajectories = Task.get_train_trajectories(**dataset_args)
     filter_model = Task.model_types[model_type]()
@@ -48,6 +50,7 @@ def main():
             "train_start_time": datetime.datetime.now().strftime(
                 "%b %d, %Y @ %-H:%M:%S"
             ),
+            "commit_hash": get_git_commit_hash(crossmodal.__file__),
             "notes": args.notes,
         }
     )
