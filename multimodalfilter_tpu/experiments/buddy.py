@@ -141,15 +141,18 @@ class Buddy:
     ) -> Dict[str, Any]:
         path = self._checkpoint_path(label, experiment_name)
         if not os.path.exists(path) and label is None:
-            # Fall back to latest checkpoint in the experiment dir.
+            # Fall back to the most recently written checkpoint (the
+            # reference Buddy's "latest" semantics).
             exp_dir = os.path.join(
                 self._checkpoint_dir, experiment_name or self.experiment_name
             )
-            candidates = sorted(
-                p for p in os.listdir(exp_dir) if p.endswith(".ckpt")
-            ) if os.path.isdir(exp_dir) else []
+            candidates = [
+                os.path.join(exp_dir, p)
+                for p in os.listdir(exp_dir)
+                if p.endswith(".ckpt")
+            ] if os.path.isdir(exp_dir) else []
             assert candidates, f"No checkpoints found in {exp_dir}"
-            path = os.path.join(exp_dir, candidates[-1])
+            path = max(candidates, key=os.path.getmtime)
         with open(path, "rb") as f:
             state = serialization.msgpack_restore(f.read())
         if self._verbose:

@@ -10,6 +10,16 @@ cross-module checkpoint surgery — train_door.py:61-460), same metadata keys.
 import argparse
 import datetime
 
+import os
+import sys
+
+# Make the repo root importable when running the script directly (the
+# reference distributes `crossmodal` via setup.py; `pip install -e .` works
+# here too, but scripts must also run standalone).
+sys.path.insert(
+    0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+)
+
 import crossmodal
 from multimodalfilter_tpu.data import set_cache_path
 from multimodalfilter_tpu.experiments import Buddy
