@@ -129,7 +129,9 @@ class StatefulFilter:
     def __init__(self, definition, seed: int = 0):
         init_key, self._rng = jax.random.split(jax.random.PRNGKey(seed))
         self.definition = definition
-        self.params = definition.init(init_key)
+        # jit the init: eager flax init dispatches hundreds of small ops,
+        # which is pathological over a remote-TPU tunnel.
+        self.params = jax.jit(definition.init)(init_key)
         self._training = True
         self._belief = None
         self._fn_cache = {}

@@ -52,6 +52,33 @@ def make_sharded_train_step(loss_fn, tx, frozen_paths: FrozenSet[str], mesh):
     return step
 
 
+def make_sharded_epoch_fn(loss_fn, tx, frozen_paths: FrozenSet[str], mesh):
+    """Epoch-level variant of make_sharded_train_step: one jitted execution
+    scans all batches of a shuffled epoch, each batch sharded over the
+    mesh's data axis (matches train/loops.py's epoch-scan contract)."""
+
+    @jax.jit
+    def epoch(params, opt_state, data, idx_matrix, key):
+        def body(carry, inputs):
+            params, opt_state = carry
+            idx, step_key = inputs
+            batch = jax.tree_util.tree_map(lambda a: a[idx], data)
+            batch = shard_batch(batch, mesh)
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, step_key)
+            grads = zero_frozen_grads(grads, frozen_paths)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        keys = jax.random.split(key, idx_matrix.shape[0])
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (idx_matrix, keys)
+        )
+        return params, opt_state, jnp.mean(losses)
+
+    return epoch
+
+
 def make_shardmap_train_step(
     loss_fn, tx, frozen_paths: FrozenSet[str], mesh, axis_name: str = "data"
 ):

@@ -25,6 +25,7 @@ Losses:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -55,35 +56,37 @@ def _gather(tree, idx):
     return jax.tree_util.tree_map(lambda a: a[idx], tree)
 
 
-def _epoch_index_batches(rng: np.random.Generator, n: int, batch_size: int, drop_last=True):
+def _epoch_index_matrix(rng: np.random.Generator, n: int, batch_size: int):
+    """(num_batches, batch_size) shuffled indices; last partial batch dropped
+    (static shapes for the epoch scan)."""
     perm = rng.permutation(n)
-    end = n - (n % batch_size) if drop_last else n
-    for start in range(0, max(end, 0), batch_size):
-        yield perm[start : start + batch_size]
+    num_batches = n // batch_size
+    assert num_batches > 0, f"dataset ({n}) smaller than batch size ({batch_size})"
+    return perm[: num_batches * batch_size].reshape(num_batches, batch_size)
 
 
-def _run_epochs(buddy, root, step_fn, opt, data, n, *, epochs, batch_size, loss_name):
+def _run_epochs(buddy, root, epoch_fn, opt, data, n, *, epochs, batch_size, loss_name):
+    """One device execution per epoch: the whole shuffled epoch is a
+    lax.scan over batches inside a single jit (remote-TPU dispatch latency is
+    per-execution, so per-batch dispatch would dominate on small models)."""
     rng = np.random.default_rng(buddy.optimizer_steps + 1)
     last_loss = None
     for _ in range(epochs):
-        losses = []
-        for idx in _epoch_index_batches(rng, n, batch_size):
-            key = root._next_key()
-            root.params, opt["state"], loss = step_fn(
-                root.params, opt["state"], data, jnp.asarray(idx), key
-            )
-            buddy.increment_steps()
-            losses.append(loss)
-        if losses:
-            last_loss = float(jnp.mean(jnp.stack(losses)))
-            buddy.log_scalar(f"train/{loss_name}", last_loss)
+        idx_matrix = jnp.asarray(_epoch_index_matrix(rng, n, batch_size))
+        key = root._next_key()
+        root.params, opt["state"], mean_loss = epoch_fn(
+            root.params, opt["state"], data, idx_matrix, key
+        )
+        buddy.increment_steps(int(idx_matrix.shape[0]))
+        last_loss = float(mean_loss)
+        buddy.log_scalar(f"train/{loss_name}", last_loss)
     return last_loss
 
 
 def _make_step(buddy, root, loss_fn, optimizer_name, cache_extra):
-    """Build (or fetch) the jitted sgd step for a loss function."""
+    """Build (or fetch) the jitted epoch function for a loss function."""
     frozen = frozenset(root.frozen_paths)
-    cache_key = ("step", optimizer_name, frozen, cache_extra)
+    cache_key = ("epoch", optimizer_name, frozen, cache_extra)
     if not hasattr(buddy, "_jit_cache"):
         buddy._jit_cache = {}
     # Ensure the named optimizer exists even on a jit-cache hit (scripts may
@@ -93,17 +96,26 @@ def _make_step(buddy, root, loss_fn, optimizer_name, cache_extra):
         return buddy._jit_cache[cache_key]
     tx = opt["tx"]
 
-    @jax.jit
-    def step(params, opt_state, data, idx, key):
-        batch = _gather(data, idx)
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
-        grads = zero_frozen_grads(grads, frozen)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def epoch(params, opt_state, data, idx_matrix, key):
+        def body(carry, inputs):
+            params, opt_state = carry
+            idx, step_key = inputs
+            batch = _gather(data, idx)
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, step_key)
+            grads = zero_frozen_grads(grads, frozen)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
 
-    buddy._jit_cache[cache_key] = step
-    return step
+        keys = jax.random.split(key, idx_matrix.shape[0])
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (idx_matrix, keys)
+        )
+        return params, opt_state, jnp.mean(losses)
+
+    buddy._jit_cache[cache_key] = epoch
+    return epoch
 
 
 # ---------------------------------------------------------------------------
@@ -304,15 +316,15 @@ def train_e2e(
         initial_cov_scale, mesh is not None,
     )
     if mesh is not None:
-        from ..parallel.data_parallel import make_sharded_train_step
+        from ..parallel.data_parallel import make_sharded_epoch_fn
 
         frozen = frozenset(root.frozen_paths)
         opt = get_named_optimizer(buddy, optimizer_name, root.params)
-        cache_key = ("step", optimizer_name, frozen, cache_extra)
+        cache_key = ("epoch", optimizer_name, frozen, cache_extra)
         if not hasattr(buddy, "_jit_cache"):
             buddy._jit_cache = {}
         if cache_key not in buddy._jit_cache:
-            buddy._jit_cache[cache_key] = make_sharded_train_step(
+            buddy._jit_cache[cache_key] = make_sharded_epoch_fn(
                 loss_fn, opt["tx"], frozen, mesh
             )
         step = buddy._jit_cache[cache_key]
