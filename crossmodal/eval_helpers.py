@@ -73,29 +73,52 @@ def run_eval_stats(*eval_args, **eval_kwargs) -> Dict[str, float]:
     return results_stats
 
 
+_eval_rng = np.random.default_rng(0)
+
+
 def _get_eval_batch():
-    """Load + batch eval trajectories (cached across repeated runs — the
-    reference reloads from HDF5 every run; the loaded arrays are identical
-    unless blackout masking is stochastic, in which case we must reload)."""
-    stochastic = dataset_args.get("image_blackout_ratio", 0.0) > 0
+    """Load + batch eval trajectories, cached across repeated runs.
+
+    The reference reloads everything from HDF5 on each of the 20 stochastic
+    eval repeats (its blackout masks are sampled at load time). We load ONCE
+    with masking disabled and re-apply the blackout on device per repeat
+    (multimodalfilter_tpu.data.augment) — distributionally identical, no
+    repeated host I/O."""
+    blackout_ratio = dataset_args.get("image_blackout_ratio", 0.0)
     cache_key = tuple(sorted(dataset_args.items()))
-    if not stochastic and cache_key in _eval_batch_cache:
-        return _eval_batch_cache[cache_key]
 
-    trajectories = task.get_eval_trajectories(**dataset_args)
-    assert type(trajectories) == list
+    if cache_key not in _eval_batch_cache:
+        load_args = dict(dataset_args)
+        load_args["image_blackout_ratio"] = 0.0  # re-masked on device below
+        trajectories = task.get_eval_trajectories(**load_args)
+        assert type(trajectories) == list
 
-    min_timesteps = min(s.shape[0] for s, o, c in trajectories)
-    states = np.stack([s[:min_timesteps] for s, o, c in trajectories], axis=1)
-    controls = np.stack([c[:min_timesteps] for s, o, c in trajectories], axis=1)
-    obs_keys = trajectories[0].observations.keys()
-    observations = {
-        k: np.stack([o[k][:min_timesteps] for s, o, c in trajectories], axis=1)
-        for k in obs_keys
-    }
-    batch = (states, observations, controls)
-    _eval_batch_cache[cache_key] = batch
-    return batch
+        min_timesteps = min(s.shape[0] for s, o, c in trajectories)
+        states = np.stack([s[:min_timesteps] for s, o, c in trajectories], axis=1)
+        controls = np.stack(
+            [c[:min_timesteps] for s, o, c in trajectories], axis=1
+        )
+        obs_keys = trajectories[0].observations.keys()
+        observations = {
+            k: np.stack(
+                [o[k][:min_timesteps] for s, o, c in trajectories], axis=1
+            )
+            for k in obs_keys
+        }
+        _eval_batch_cache[cache_key] = (states, observations, controls)
+
+    states, observations, controls = _eval_batch_cache[cache_key]
+    if blackout_ratio > 0:
+        import jax
+
+        from multimodalfilter_tpu.data.augment import apply_image_blackout
+
+        key = jax.random.PRNGKey(int(_eval_rng.integers(2**31)))
+        observations = dict(observations)
+        observations["image"] = apply_image_blackout(
+            key, observations["image"], blackout_ratio
+        )
+    return states, observations, controls
 
 
 def run_eval(measurement_initialize=False, eval_dynamics=False) -> Dict[str, float]:
@@ -136,6 +159,20 @@ def run_eval(measurement_initialize=False, eval_dynamics=False) -> Dict[str, flo
         elapsed = time.perf_counter() - start
     else:
         obs_rest = {k: v[1:] for k, v in observations.items()}
+        # Warm-up pass: excludes jit compile and fresh-buffer registration
+        # from the throughput number (the warm-up result is discarded; the
+        # timed run below regenerates the belief trajectory used for
+        # metrics). Skipped when this (filter, mode) pair already compiled.
+        warm_key = ("loop", filter_model.training, filter_model._enabled_tuple,
+                    id(filter_model.definition))
+        if warm_key not in filter_model._fn_cache:
+            saved_belief = filter_model.belief
+            np.asarray(
+                filter_model.forward_loop(
+                    observations=obs_rest, controls=controls[1:]
+                )
+            )
+            filter_model.belief = saved_belief
         start = time.perf_counter()
         predicted_states = filter_model.forward_loop(
             observations=obs_rest, controls=controls[1:]
