@@ -18,3 +18,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the suite compiles ~100 distinct programs
+# (filter defs x train/eval configs); caching them across runs cuts suite
+# wall time dramatically.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".scratch", "jax_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
