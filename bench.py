@@ -45,7 +45,17 @@ def bench_jax() -> float:
 
     log(f"[bench] devices: {jax.devices()}")
     model = DoorCrossmodalParticleFilter()
-    defn = dataclasses.replace(model.definition, num_particles_eval=PARTICLES)
+    # The fused Pallas update/resample kernel is bitwise-identical to the
+    # jnp path on TPU (fp32-precision MXU matmuls) and ~30% faster;
+    # disable with BENCH_PALLAS=0.
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1" and (
+        jax.default_backend() == "tpu"
+    )
+    defn = dataclasses.replace(
+        model.definition,
+        num_particles_eval=PARTICLES,
+        pallas_resample=use_pallas,
+    )
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 5)
