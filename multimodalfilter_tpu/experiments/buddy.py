@@ -165,6 +165,18 @@ class Buddy:
         state = self._read_checkpoint(label, experiment_name)
         self.model.params = jax.tree_util.tree_map(np.asarray, state["params"])
         self._steps = int(state.get("steps", 0))
+        # Best-effort optimizer-state restore: only for named optimizers that
+        # already exist with a matching pytree structure (training resumes
+        # with warm Adam moments; mismatches fall back to fresh state).
+        for name, saved in state.get("optimizers", {}).items():
+            if name not in self._optimizer_dict:
+                continue
+            opt = self._optimizer_dict[name]
+            try:
+                opt["state"] = serialization.from_state_dict(opt["state"], saved)
+            except (KeyError, ValueError, TypeError):
+                if self._verbose:
+                    print(f"[buddy] optimizer {name!r} state incompatible; skipped")
 
     def load_checkpoint_module(
         self,

@@ -95,6 +95,10 @@ class ParticleFilterDef(FilterDef):
             and self.pallas_resample
             and self.soft_resample_alpha >= 1.0
             and self.estimation_method == "weighted_average"
+            # The kernel's (rows, M, M) one-hot/compare intermediates must fit
+            # VMEM; beyond ~1k particles the jnp searchsorted path wins anyway
+            # (the O(M^2) inverse-CDF search stops being the cheap option).
+            and m <= 1024
         ):
             # Fused Pallas path: normalize + estimate + resample in one
             # VMEM-resident kernel.
