@@ -264,8 +264,98 @@ def bench_torch() -> float:
     return steps_per_sec
 
 
+def bench_train() -> float:
+    """Secondary metric (stderr): e2e BPTT training throughput — filter-steps
+    (batch x unrolled timesteps x optimizer steps) per second through the
+    epoch-scan train path."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from crossmodal.door_models import DoorCrossmodalParticleFilter
+    from multimodalfilter_tpu.train.optim import zero_frozen_grads
+
+    seq_len, batch, steps = 16, 32, 16
+    model = DoorCrossmodalParticleFilter()
+    defn = dataclasses.replace(model.definition)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 5)
+    n_rows = batch * 2
+    data = {
+        "states": jax.random.normal(ks[0], (n_rows, seq_len, 3)),
+        "controls": jax.random.normal(ks[1], (n_rows, seq_len, 7)),
+        "obs": {
+            "image": jax.random.normal(ks[2], (n_rows, seq_len, 32, 32)),
+            "gripper_pos": jax.random.normal(ks[3], (n_rows, seq_len, 3)),
+            "gripper_sensors": jax.random.normal(ks[4], (n_rows, seq_len, 7)),
+        },
+    }
+
+    def loss_fn(params, batch_data, key):
+        states = jnp.swapaxes(batch_data["states"], 0, 1)
+        controls = jnp.swapaxes(batch_data["controls"], 0, 1)
+        obs = jax.tree_util.tree_map(
+            lambda a: jnp.swapaxes(a, 0, 1), batch_data["obs"]
+        )
+        k_init, k_loop = jax.random.split(key)
+        b = states.shape[1]
+        cov = jnp.broadcast_to(jnp.eye(3) * 0.1, (b, 3, 3))
+        belief = defn.initialize_beliefs(params, k_init, states[0], cov, train=True)
+        obs_rest = jax.tree_util.tree_map(lambda a: a[1:], obs)
+        _, est = defn.forward_loop(
+            params, belief, obs_rest, controls[1:], k_loop,
+            train=True, enabled=(True, True),
+        )
+        return jnp.mean((est - states[1:]) ** 2)
+
+    tx = optax.adam(1e-4)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def epoch(params, opt_state, data, idx_matrix, key):
+        def body(carry, inputs):
+            params, opt_state = carry
+            idx, step_key = inputs
+            batch_data = jax.tree_util.tree_map(lambda a: a[idx], data)
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch_data, step_key)
+            grads = zero_frozen_grads(grads, frozenset())
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        keys = jax.random.split(key, idx_matrix.shape[0])
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (idx_matrix, keys)
+        )
+        return params, opt_state, jnp.mean(losses)
+
+    idx = jnp.arange(steps * batch).reshape(steps, batch) % n_rows
+    params, opt_state = model.params, tx.init(model.params)
+    params, opt_state, loss = epoch(params, opt_state, data, idx, key)
+    float(loss)
+    t0 = time.perf_counter()
+    params, opt_state, loss = epoch(
+        params, opt_state, data, idx, jax.random.PRNGKey(1)
+    )
+    float(loss)
+    elapsed = time.perf_counter() - t0
+    train_sps = steps * batch * (seq_len - 1) / elapsed
+    log(
+        f"[bench] train e2e: {elapsed * 1e3:.1f} ms / {steps} opt-steps "
+        f"(L={seq_len}, B={batch}) -> {train_sps:.0f} train filter-steps/s"
+    )
+    return train_sps
+
+
 def main():
     jax_sps = bench_jax()
+    try:
+        bench_train()
+    except Exception as exc:
+        log(f"[bench] train bench failed: {exc}")
     try:
         torch_sps = bench_torch()
     except Exception as exc:  # torch baseline is best-effort

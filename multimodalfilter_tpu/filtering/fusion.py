@@ -430,6 +430,26 @@ class UnimodalKFDef(FilterDef):
         del params, key, train
         return tuple(GaussianBelief(mean, covariance) for _ in self.filter_models)
 
+    def measurement_initialize_beliefs(
+        self, params, observations, *, key=None, train=False,
+        enabled: Optional[Tuple[bool, ...]] = None,
+    ):
+        """Per-child measurement initialization: each child EKF starts from
+        its own virtual sensor's (z, R). (The door UEKF curriculum trains
+        e2e with measurement_initialize=True — train_door.py:443-457; the
+        reference's UnimodalKalmanFilter never defines this method, so we
+        implement the evident unimodal semantics.)"""
+        del key, train, enabled
+        beliefs = []
+        for i, fm in enumerate(self.filter_models):
+            z, tril = fm.virtual_sensor_model.apply(
+                params["filter_models"][str(i)]["virtual_sensor_model"],
+                observations,
+            )
+            cov = tril @ jnp.swapaxes(tril, -1, -2)
+            beliefs.append(GaussianBelief(z, cov))
+        return tuple(beliefs)
+
     def step(
         self,
         params,

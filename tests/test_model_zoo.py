@@ -183,6 +183,26 @@ def test_know_image_blackout_setter():
     assert kf.definition.know_image_blackout
 
 
+def test_measurement_initialize_paths():
+    """measurement_initialize_beliefs: EKF (z, R), crossmodal KF (weighted
+    fusion — crossmodal_kf.py:208-240), unimodal KF (per-child init)."""
+    for name in (
+        "DoorKalmanFilter",
+        "DoorCrossmodalKalmanFilter",
+        "DoorUnimodalKalmanFilter",
+    ):
+        model = DoorTask.model_types[name]()
+        obs, _ = _dummy_batch(2)
+        model.measurement_initialize_beliefs(obs)
+        belief = model.belief
+        leaves = jax.tree_util.tree_leaves(belief)
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves), name
+        # Filter runs from the measurement-initialized belief.
+        obs2, controls = _dummy_batch(2)
+        est = model.forward(observations=obs2, controls=controls)
+        assert est.shape == (2, 3)
+
+
 def test_weight_normalization():
     """KF gate weights sum to ~1 over modalities (crossmodal_kf.py:165)."""
     model = DoorTask.model_types["DoorCrossmodalKalmanFilter"]()
