@@ -56,6 +56,13 @@ def bench_jax() -> float:
         num_particles_eval=PARTICLES,
         pallas_resample=use_pallas,
     )
+    if os.environ.get("BENCH_BF16", "0") == "1":
+        import jax.numpy as jnp
+
+        from multimodalfilter_tpu.utils.precision import with_compute_dtype
+
+        defn = with_compute_dtype(defn, jnp.bfloat16)
+        log("[bench] bf16 encoder compute enabled")
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 5)

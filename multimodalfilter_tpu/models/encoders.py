@@ -18,6 +18,8 @@ All encoders map to a `units`-dim feature vector:
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -28,12 +30,13 @@ class MLPEncoder(nn.Module):
     """Dense -> ReLU -> LinearResblock. Input dim inferred from data."""
 
     units: int
+    dtype: Any = None  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.units, name="dense")(x)
+        x = nn.Dense(self.units, name="dense", dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = LinearResblock(self.units, name="resblock")(x)
+        x = LinearResblock(self.units, dtype=self.dtype, name="resblock")(x)
         return x
 
 
@@ -64,6 +67,7 @@ class ImageEncoder(nn.Module):
 
     units: int
     spanning_avg_pool: bool = False
+    dtype: Any = None  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, images):
@@ -74,18 +78,18 @@ class ImageEncoder(nn.Module):
             x = images
         n = x.shape[0]
 
-        x = nn.Conv(32, (5, 5), padding="SAME", name="conv1")(x)
+        x = nn.Conv(32, (5, 5), padding="SAME", name="conv1", dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = Conv2dResblock(32, 3, name="resblock_conv")(x)
-        x = nn.Conv(16, (3, 3), padding="SAME", name="conv2")(x)
+        x = Conv2dResblock(32, 3, dtype=self.dtype, name="resblock_conv")(x)
+        x = nn.Conv(16, (3, 3), padding="SAME", name="conv2", dtype=self.dtype)(x)
         x = nn.relu(x)
         if self.spanning_avg_pool:
-            x = nn.Conv(2, (3, 3), padding="SAME", name="conv3")(x)
+            x = nn.Conv(2, (3, 3), padding="SAME", name="conv3", dtype=self.dtype)(x)
             x = _dual_spanning_avg_pool(x, reduce_size=2)
         else:
-            x = nn.Conv(8, (3, 3), padding="SAME", name="conv3")(x)
+            x = nn.Conv(8, (3, 3), padding="SAME", name="conv3", dtype=self.dtype)(x)
             x = x.reshape(n, -1)  # (N, 32*32*8)
-        x = nn.Dense(self.units, name="dense")(x)
+        x = nn.Dense(self.units, name="dense", dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = LinearResblock(self.units, name="resblock")(x)
+        x = LinearResblock(self.units, dtype=self.dtype, name="resblock")(x)
         return x

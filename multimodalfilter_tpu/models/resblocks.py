@@ -14,7 +14,7 @@ checkpoints exist in-tree), architectural equivalence is.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 
@@ -22,14 +22,15 @@ import flax.linen as nn
 class LinearResblock(nn.Module):
     units: int
     bottleneck_units: Optional[int] = None
+    dtype: Any = None  # compute dtype (params stay fp32); None = fp32
 
     @nn.compact
     def __call__(self, x):
         bottleneck = self.bottleneck_units or self.units
         residual = x
-        x = nn.Dense(bottleneck, name="block1")(x)
+        x = nn.Dense(bottleneck, name="block1", dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Dense(self.units, name="block2")(x)
+        x = nn.Dense(self.units, name="block2", dtype=self.dtype)(x)
         x = nn.relu(x)
         return x + residual
 
@@ -40,13 +41,14 @@ class Conv2dResblock(nn.Module):
 
     channels: int
     kernel_size: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         residual = x
         k = (self.kernel_size, self.kernel_size)
-        x = nn.Conv(self.channels, k, padding="SAME", name="block1")(x)
+        x = nn.Conv(self.channels, k, padding="SAME", name="block1", dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Conv(self.channels, k, padding="SAME", name="block2")(x)
+        x = nn.Conv(self.channels, k, padding="SAME", name="block2", dtype=self.dtype)(x)
         x = nn.relu(x)
         return x + residual

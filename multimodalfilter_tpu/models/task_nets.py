@@ -25,7 +25,7 @@ required for data-parallel sharding to be semantics-preserving.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -63,6 +63,7 @@ class _ObservationEncoders(nn.Module):
     units: int
     modalities: Tuple[str, ...]
     spanning_avg_pool: bool = False
+    dtype: Any = None  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, observations) -> jnp.ndarray:
@@ -73,22 +74,25 @@ class _ObservationEncoders(nn.Module):
                 ImageEncoder(
                     self.units,
                     spanning_avg_pool=self.spanning_avg_pool,
+                    dtype=self.dtype,
                     name="observation_image_layers",
                 )(observations["image"])
             )
         if "pos" in mods:
             feats.append(
-                MLPEncoder(self.units, name="observation_pos_layers")(
+                MLPEncoder(self.units, dtype=self.dtype, name="observation_pos_layers")(
                     observations["gripper_pos"]
                 )
             )
         if "sensors" in mods:
             feats.append(
-                MLPEncoder(self.units, name="observation_sensors_layers")(
-                    observations["gripper_sensors"]
-                )
+                MLPEncoder(
+                    self.units, dtype=self.dtype, name="observation_sensors_layers"
+                )(observations["gripper_sensors"])
             )
-        return jnp.concatenate(feats, axis=-1)
+        out = jnp.concatenate(feats, axis=-1)
+        # Features re-enter fp32 math downstream; cast back explicitly.
+        return out.astype(jnp.float32) if self.dtype is not None else out
 
 
 class DynamicsNet(nn.Module):
@@ -146,12 +150,14 @@ class LogLikelihoodNet(nn.Module):
     modalities: Tuple[str, ...] = MODALITY_ORDER
     units: int = 64
     spanning_avg_pool: bool = False
+    dtype: Any = None  # compute dtype for the obs encoders (params stay fp32)
 
     def setup(self):
         self.obs_encoders = _ObservationEncoders(
             self.units,
             _check_modalities(self.modalities),
             self.spanning_avg_pool,
+            dtype=self.dtype,
             name="obs_encoders",
         )
         self.state_layers = MLPEncoder(self.units, name="state_layers")
@@ -198,6 +204,7 @@ class VirtualSensorNet(nn.Module):
     add_R_noise: float = 1e-6
     spanning_avg_pool: bool = False
     noise_R_tril_diag: Optional[Tuple[float, ...]] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, observations):
@@ -205,6 +212,7 @@ class VirtualSensorNet(nn.Module):
             self.units,
             _check_modalities(self.modalities),
             self.spanning_avg_pool,
+            dtype=self.dtype,
             name="obs_encoders",
         )(observations)
         n = obs_features.shape[0]
@@ -249,12 +257,13 @@ class KFWeightNet(nn.Module):
     modality_count: int = 2
     units: int = 64
     weighting_type: str = "sigmoid"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, observations):
         assert self.weighting_type in ("sigmoid", "softmax", "absolute")
         obs_features = _ObservationEncoders(
-            self.units, MODALITY_ORDER, False, name="obs_encoders"
+            self.units, MODALITY_ORDER, False, dtype=self.dtype, name="obs_encoders"
         )(observations)
         n = obs_features.shape[0]
 
@@ -289,11 +298,12 @@ class PFWeightNet(nn.Module):
     modality_count: int = 2
     units: int = 64
     num_fusion_resblocks: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, observations):
         obs_features = _ObservationEncoders(
-            self.units, MODALITY_ORDER, False, name="obs_encoders"
+            self.units, MODALITY_ORDER, False, dtype=self.dtype, name="obs_encoders"
         )(observations)
 
         x = nn.Dense(self.units, name="fusion_dense_in")(obs_features)
