@@ -36,13 +36,6 @@ from .resblocks import LinearResblock
 
 MODALITY_ORDER = ("image", "pos", "sensors")
 
-# Observation dict keys for each modality (matches the reference datasets).
-_MODALITY_KEYS = {
-    "image": "image",
-    "pos": "gripper_pos",
-    "sensors": "gripper_sensors",
-}
-
 
 def _check_modalities(modalities: Tuple[str, ...]) -> Tuple[str, ...]:
     mods = tuple(m for m in MODALITY_ORDER if m in modalities)
