@@ -25,6 +25,11 @@ BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 PARTICLES = int(os.environ.get("BENCH_PARTICLES", "100"))
 TIMESTEPS = int(os.environ.get("BENCH_T", "100"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
+# Chain K dependent forward_loops inside one jitted program: a single
+# dispatch through the remote-TPU tunnel costs ~30ms of round-trip latency,
+# which would otherwise dominate the measurement (device time per loop is a
+# few ms). A production serving loop keeps work device-resident the same way.
+CHAIN = int(os.environ.get("BENCH_CHAIN", "16"))
 TORCH_STEPS = int(os.environ.get("BENCH_TORCH_STEPS", "10"))
 
 
@@ -78,37 +83,53 @@ def bench_jax() -> float:
     cov = jnp.broadcast_to(jnp.eye(3) * 0.1, (BATCH, 3, 3))
     belief = defn.initialize_beliefs(model.params, ks[4], mean, cov, train=False)
 
-    @jax.jit
-    def run(params, belief, obs_seq, controls_seq, key):
-        _, estimates = defn.forward_loop(
-            params, belief, obs_seq, controls_seq, key,
-            train=False, enabled=(True, True),
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def run_chained(params, belief, obs_seq, controls_seq, key, reps: int):
+        """`reps` dependent forward_loops in one program (belief threads
+        through, so none can be elided)."""
+
+        def body(carry, i):
+            b, acc = carry
+            nb, est = defn.forward_loop(
+                params, b, obs_seq, controls_seq, jax.random.fold_in(key, i),
+                train=False, enabled=(True, True),
+            )
+            return (nb, acc + est.sum()), None
+
+        (_, acc), _ = jax.lax.scan(
+            body, (belief, jnp.float32(0)), jnp.arange(reps)
         )
-        return estimates
+        return acc
 
     # Warm-up / compile. NOTE: through the remote-TPU tunnel,
     # block_until_ready does not reliably block and identical executions are
     # cached — so every timed run varies the PRNG key AND forces completion
     # with a host scalar fetch.
     t0 = time.perf_counter()
-    out = run(model.params, belief, obs_seq, controls_seq, key)
-    float(out.sum())
+    float(run_chained(model.params, belief, obs_seq, controls_seq, key, CHAIN))
     log(f"[bench] compile+first run: {time.perf_counter() - t0:.1f}s")
-    out = run(model.params, belief, obs_seq, controls_seq, jax.random.PRNGKey(99))
-    float(out.sum())  # second warm-up (first fresh-input run pays transfers)
+    float(
+        run_chained(
+            model.params, belief, obs_seq, controls_seq, jax.random.PRNGKey(99),
+            CHAIN,
+        )
+    )  # second warm-up (first fresh-input run pays transfers)
 
     times = []
     for i in range(REPEATS):
         k = jax.random.PRNGKey(i + 1)
         t0 = time.perf_counter()
-        out = run(model.params, belief, obs_seq, controls_seq, k)
-        float(out.sum())  # forces full execution + host roundtrip
+        float(
+            run_chained(model.params, belief, obs_seq, controls_seq, k, CHAIN)
+        )  # forces full execution + host roundtrip
         times.append(time.perf_counter() - t0)
     best = min(times)
-    steps_per_sec = TIMESTEPS * BATCH / best
+    steps_per_sec = TIMESTEPS * BATCH * CHAIN / best
     log(
-        f"[bench] jax: {best * 1e3:.1f} ms / {TIMESTEPS}x{BATCH} steps "
-        f"-> {steps_per_sec:.0f} steps/s"
+        f"[bench] jax: {best * 1e3:.1f} ms / {CHAIN}x{TIMESTEPS}x{BATCH} steps "
+        f"-> {steps_per_sec:.0f} steps/s (chained; ~30ms tunnel RTT amortized)"
     )
     return steps_per_sec
 
