@@ -187,3 +187,174 @@ def test_dynamics_net_parity():
     np.testing.assert_allclose(
         np.asarray(tril_jax[0]), np.diag(q_diag).astype(np.float32), rtol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# Full task-net parity: measurement model + gates (obs encoders + trunks)
+# ---------------------------------------------------------------------------
+
+
+def _torch_mlp_encoder(params, in_dim, units):
+    dense = nn.Linear(in_dim, units)
+    copy_dense(params["dense"], dense)
+    resblock = TorchResblock(units)
+    copy_resblock(params["resblock"], resblock)
+    return lambda x: resblock(torch.relu(dense(x)))
+
+
+def _torch_image_encoder(params, units):
+    conv1 = nn.Conv2d(1, 32, 5, padding=2)
+    copy_conv(params["conv1"], conv1)
+    resconv = TorchConvResblock(32)
+    copy_conv(params["resblock_conv"]["block1"], resconv.block1)
+    copy_conv(params["resblock_conv"]["block2"], resconv.block2)
+    conv2 = nn.Conv2d(32, 16, 3, padding=1)
+    copy_conv(params["conv2"], conv2)
+    conv3 = nn.Conv2d(16, 8, 3, padding=1)
+    copy_conv(params["conv3"], conv3)
+    dense = nn.Linear(8192, units)
+    copy_dense(params["dense"], dense)
+    resblock = TorchResblock(units)
+    copy_resblock(params["resblock"], resblock)
+
+    def forward(images):
+        x = images[:, None, :, :]
+        x = torch.relu(conv1(x))
+        x = resconv(x)
+        x = torch.relu(conv2(x))
+        x = conv3(x)
+        # flax flattens NHWC; permute torch NCHW activations to match.
+        flat = torch.from_numpy(
+            x.numpy().transpose(0, 2, 3, 1).reshape(x.shape[0], -1)
+        )
+        return resblock(torch.relu(dense(flat)))
+
+    return forward
+
+
+def _obs_features_torch(params, obs, units):
+    img = _torch_image_encoder(params["observation_image_layers"], units)
+    pos = _torch_mlp_encoder(params["observation_pos_layers"], 3, units)
+    sens = _torch_mlp_encoder(params["observation_sensors_layers"], 7, units)
+    return torch.cat(
+        [img(t(obs["image"])), pos(t(obs["gripper_pos"])),
+         sens(t(obs["gripper_sensors"]))],
+        dim=-1,
+    )
+
+
+def _dummy_obs(n=3, seed=10):
+    rng = np.random.default_rng(seed)
+    return {
+        "image": rng.normal(size=(n, 32, 32)).astype(np.float32),
+        "gripper_pos": rng.normal(size=(n, 3)).astype(np.float32),
+        "gripper_sensors": rng.normal(size=(n, 7)).astype(np.float32),
+    }
+
+
+def test_log_likelihood_net_parity():
+    """Full PF measurement model (reference door pf.py:63-107): obs encoders
+    broadcast over particles + state trunk -> per-particle log-liks."""
+    from multimodalfilter_tpu.models import LogLikelihoodNet
+
+    units, n, m = 32, 3, 5
+    net = LogLikelihoodNet(3, ("image", "pos", "sensors"), units)
+    obs = _dummy_obs(n)
+    states = np.random.default_rng(11).normal(size=(n, m, 3)).astype(np.float32)
+    params = net.init(
+        jax.random.PRNGKey(7), jnp.asarray(states),
+        {k: jnp.asarray(v) for k, v in obs.items()},
+    )["params"]
+    out_jax = np.asarray(
+        net.apply({"params": params}, jnp.asarray(states),
+                  {k: jnp.asarray(v) for k, v in obs.items()})
+    )
+
+    obs_feat = _obs_features_torch(params["obs_encoders"], obs, units)
+    state_enc = _torch_mlp_encoder(params["state_layers"], 3, units)
+    dense_in = nn.Linear(units * 4, units)
+    copy_dense(params["shared_dense_in"], dense_in)
+    rb0, rb1 = TorchResblock(units), TorchResblock(units)
+    copy_resblock(params["shared_resblock0"], rb0)
+    copy_resblock(params["shared_resblock1"], rb1)
+    dense_out = nn.Linear(units, 1)
+    copy_dense(params["shared_dense_out"], dense_out)
+
+    obs_b = obs_feat[:, None, :].expand(n, m, units * 3)
+    merged = torch.cat([obs_b, state_enc(t(states))], dim=-1)
+    out_torch = dense_out(rb1(rb0(torch.relu(dense_in(merged))))).squeeze(-1)
+    np.testing.assert_allclose(out_jax, out_torch.numpy(), rtol=2e-4, atol=1e-5)
+
+
+def test_pf_weight_net_parity():
+    """PF gate (reference door crossmodal_pf.py:74-96)."""
+    from multimodalfilter_tpu.models import PFWeightNet
+
+    units, n = 32, 3
+    net = PFWeightNet(modality_count=2, units=units, num_fusion_resblocks=3)
+    obs = _dummy_obs(n, seed=12)
+    params = net.init(
+        jax.random.PRNGKey(8), {k: jnp.asarray(v) for k, v in obs.items()}
+    )["params"]
+    out_jax = np.asarray(
+        net.apply({"params": params}, {k: jnp.asarray(v) for k, v in obs.items()})
+    )
+
+    obs_feat = _obs_features_torch(params["obs_encoders"], obs, units)
+    dense_in = nn.Linear(units * 3, units)
+    copy_dense(params["fusion_dense_in"], dense_in)
+    blocks = []
+    for i in range(3):
+        b = TorchResblock(units)
+        copy_resblock(params[f"fusion_resblock{i}"], b)
+        blocks.append(b)
+    dense_out = nn.Linear(units, 2)
+    copy_dense(params["fusion_dense_out"], dense_out)
+    h = torch.relu(dense_in(obs_feat))
+    for b in blocks:
+        h = b(h)
+    out_torch = dense_out(h)
+    np.testing.assert_allclose(out_jax, out_torch.numpy(), rtol=2e-4, atol=1e-5)
+
+
+def test_virtual_sensor_net_parity():
+    """Virtual sensor (reference door kf.py:81-126): shared trunk split into
+    z/r heads; cov = diag(lt)^2 + add_R_noise*I; returns sqrt(cov)."""
+    from multimodalfilter_tpu.models import VirtualSensorNet
+
+    units, n = 32, 3
+    net = VirtualSensorNet(3, ("image", "pos", "sensors"), units, add_R_noise=1e-6)
+    obs = _dummy_obs(n, seed=13)
+    params = net.init(
+        jax.random.PRNGKey(9), {k: jnp.asarray(v) for k, v in obs.items()}
+    )["params"]
+    z_jax, tril_jax = net.apply(
+        {"params": params}, {k: jnp.asarray(v) for k, v in obs.items()}
+    )
+
+    obs_feat = _obs_features_torch(params["obs_encoders"], obs, units)
+    dense_in = nn.Linear(units * 3, units * 2)
+    copy_dense(params["shared_dense_in"], dense_in)
+    rb0, rb1 = TorchResblock(units * 2), TorchResblock(units * 2)
+    copy_resblock(params["shared_resblock0"], rb0)
+    copy_resblock(params["shared_resblock1"], rb1)
+
+    def head(prefix, x):
+        d_in = nn.Linear(units, 3)
+        copy_dense(params[f"{prefix}_dense_in"], d_in)
+        rb = TorchResblock(3)
+        copy_resblock(params[f"{prefix}_resblock"], rb)
+        d_out = nn.Linear(3, 3)
+        copy_dense(params[f"{prefix}_dense_out"], d_out)
+        return d_out(rb(torch.relu(d_in(x))))
+
+    shared = rb1(rb0(torch.relu(dense_in(obs_feat))))
+    z_torch = head("z_layer", shared[:, :units])
+    lt_hat = head("r_layer", shared[:, units:])
+    cov_diag = lt_hat**2 + 1e-6
+    tril_torch = torch.diag_embed(torch.sqrt(cov_diag))
+
+    np.testing.assert_allclose(np.asarray(z_jax), z_torch.numpy(), rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(tril_jax), tril_torch.numpy(), rtol=2e-4, atol=1e-5
+    )
