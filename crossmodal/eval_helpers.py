@@ -33,16 +33,21 @@ buddy: Buddy
 filter_model = None
 task = None
 dataset_args: Dict = {}
+mesh = None
 
 _eval_batch_cache = {}
 
 
-def configure(*, buddy: Buddy, task, dataset_args: Dict):
+def configure(*, buddy: Buddy, task, dataset_args: Dict, mesh=None):
+    """`mesh` optionally shards eval trajectory batches data-parallel over a
+    jax.sharding.Mesh (the eval batch axis N is the natural DP axis; GSPMD
+    partitions the jitted forward_loop from the input shardings alone)."""
     assert issubclass(task, tasks.Task)
     globals()["buddy"] = buddy
     globals()["filter_model"] = buddy.model
     globals()["task"] = task
     globals()["dataset_args"] = dataset_args
+    globals()["mesh"] = mesh
     _eval_batch_cache.clear()
 
 
@@ -108,11 +113,22 @@ def _get_eval_batch():
         # Keep observations/controls device-resident: run_eval_stats repeats
         # the filter 20x over the same batch, and re-uploading images through
         # the remote-TPU tunnel each repeat dominates otherwise. States stay
-        # host-side (metrics are numpy).
+        # host-side (metrics are numpy). With a mesh, arrays shard over the
+        # batch axis (index 1 of the (T, N, ...) layout) — GSPMD partitions
+        # the filter's forward_loop from these shardings.
         import jax
 
-        observations = {k: jax.device_put(v) for k, v in observations.items()}
-        controls = jax.device_put(controls)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            def put(v):
+                spec = PartitionSpec(None, "data", *([None] * (v.ndim - 2)))
+                return jax.device_put(v, NamedSharding(mesh, spec))
+
+        else:
+            put = jax.device_put
+        observations = {k: put(v) for k, v in observations.items()}
+        controls = put(controls)
         _eval_batch_cache[cache_key] = (states, observations, controls)
 
     states, observations, controls = _eval_batch_cache[cache_key]
@@ -154,10 +170,16 @@ def run_eval(measurement_initialize=False, eval_dynamics=False) -> Dict[str, flo
         init_key = ("init_tensors", n, state_dim, id(states))
         if init_key not in _eval_batch_cache:
             cov = np.tile(np.eye(state_dim, dtype=np.float32) * 0.1, (n, 1, 1))
-            _eval_batch_cache[init_key] = (
-                jax.device_put(states[0]),
-                jax.device_put(cov),
-            )
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                def put0(v):
+                    spec = PartitionSpec("data", *([None] * (v.ndim - 1)))
+                    return jax.device_put(v, NamedSharding(mesh, spec))
+
+            else:
+                put0 = jax.device_put
+            _eval_batch_cache[init_key] = (put0(states[0]), put0(cov))
         mean0, cov = _eval_batch_cache[init_key]
         filter_model.initialize_beliefs(mean=mean0, covariance=cov)
 

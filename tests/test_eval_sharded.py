@@ -1,0 +1,61 @@
+"""Data-parallel eval: run_eval over an 8-device mesh must produce the same
+RMSE as single-device eval (deterministic EKF model; synthetic data)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import crossmodal
+from multimodalfilter_tpu.data import set_cache_path
+from multimodalfilter_tpu.experiments import Buddy
+from multimodalfilter_tpu.parallel.mesh import create_mesh
+
+DATASET_ARGS = {
+    "use_vision": True,
+    "use_proprioception": True,
+    "use_haptics": True,
+    "image_blackout_ratio": 0.0,
+    "sequential_image_rate": 1,
+}
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    os.environ["MMF_TPU_SYNTHESIZE_DATA"] = "1"
+    os.environ["MMF_TPU_SYNTH_TRAJ"] = "8"  # batch 16 (2 files) -> 8 devices
+    os.environ["MMF_TPU_SYNTH_T"] = "48"
+    set_cache_path(str(tmp_path_factory.mktemp("cache")))
+    workdir = tmp_path_factory.mktemp("exp")
+    from crossmodal.tasks import DoorTask
+
+    model = DoorTask.model_types["DoorKalmanFilter"]()  # deterministic filter
+    buddy = Buddy(
+        "sharded_eval_test", model,
+        checkpoint_dir=str(workdir / "c"), metadata_dir=str(workdir / "m"),
+        log_dir=str(workdir / "l"), verbose=False,
+    )
+    return buddy
+
+
+def test_sharded_eval_matches_single_device(env):
+    from crossmodal.tasks import DoorTask
+
+    buddy = env
+    eh = crossmodal.eval_helpers
+
+    eh.configure(buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS)
+    single = eh.run_eval()
+
+    eh.configure(
+        buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS,
+        mesh=create_mesh(8),
+    )
+    sharded = eh.run_eval()
+
+    np.testing.assert_allclose(
+        single["raw_rmse"], sharded["raw_rmse"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        single["theta_rmse_deg"], sharded["theta_rmse_deg"], rtol=1e-4
+    )
