@@ -19,6 +19,13 @@ Design principles (TPU-first, not a port):
   matmuls; data parallelism shards N over a ``jax.sharding.Mesh``.
 """
 
+from . import data  # noqa: F401
+from . import experiments  # noqa: F401
+from . import filtering  # noqa: F401
+from . import models  # noqa: F401
+from . import ops  # noqa: F401
+from . import parallel  # noqa: F401
+from . import train  # noqa: F401
 from . import types  # noqa: F401
 from . import utils  # noqa: F401
 

@@ -14,9 +14,14 @@ multimodalfilter_tpu.data.synthetic.
 """
 
 import argparse
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(
+    0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", ".."))
+)
 
 from multimodalfilter_tpu.data import TrajectoriesFile
 
