@@ -1,0 +1,156 @@
+"""Particle-axis sharding: the PF's M axis distributed over a mesh axis.
+
+For this workload data parallelism over the batch N is the primary strategy
+(SURVEY §2.5), but the particle axis is the natural *model-parallel* analog:
+at large M (massive-particle smoothing / serving fleets) a single chip's HBM
+and FLOPs bound M, and M shards cleanly:
+
+  - dynamics propagation and per-particle measurement trunks are local
+    (embarrassingly parallel over M);
+  - the weight normalization is a global logsumexp: pmax + psum over the
+    particle axis (two scalar-ish ICI collectives per step);
+  - the weighted-mean estimate is a psum;
+  - systematic resampling is global: shards exchange weight-mass offsets and
+    all_gather the (M, D) particle matrix — tiny for state_dim<=3 — then each
+    shard gathers only its own M/P output slots.
+
+Built with shard_map + explicit collectives; statistically identical to the
+single-device systematic-resampling path (same stratified positions).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec
+
+
+def make_particle_sharded_pf_loop(defn, mesh, axis_name: str = "particle"):
+    """Build a forward_loop over a particle-sharded belief.
+
+    Args:
+      defn: a ParticleFilterDef (its dynamics/measurement defs are reused).
+      mesh: Mesh with `axis_name`; M must divide by its size.
+
+    Returns:
+      loop(params, belief, obs_seq, ctrl_seq, key) -> (belief, estimates)
+      where belief.particles is (N, M, D) globally (sharded over M).
+    """
+    num_shards = mesh.shape[axis_name]
+
+    def per_device_loop(params, particles, log_weights, obs_seq, ctrl_seq, key):
+        """Runs on each shard: particles (N, Mp, D); log_weights (N, Mp)
+        normalized GLOBALLY (logsumexp over all shards == 0)."""
+        my_shard = jax.lax.axis_index(axis_name)
+        n, mp, d = particles.shape
+        m_global = mp * num_shards
+
+        t = jax.tree_util.tree_leaves(ctrl_seq)[0].shape[0]
+        flat_obs = jax.tree_util.tree_map(
+            lambda x: x.reshape((t * n,) + x.shape[2:]), obs_seq
+        )
+        features = defn.measurement_model.encode_observations(
+            params["measurement_model"], flat_obs
+        )
+        features_seq = jax.tree_util.tree_map(
+            lambda x: x.reshape((t, n) + x.shape[1:]), features
+        )
+        keys = jax.random.split(key, t)
+
+        def step(carry, inputs):
+            particles, log_w = carry
+            features_t, ctrl_t, key_t = inputs
+            k_noise, k_resample = jax.random.split(key_t)
+            # Decorrelate dynamics noise across shards.
+            k_noise = jax.random.fold_in(k_noise, my_shard)
+
+            # --- local dynamics propagation ---
+            flat = particles.reshape(n * mp, d)
+            ctrl_rep = jnp.repeat(ctrl_t, mp, axis=0)
+            pred, tril = defn.dynamics_model.apply(
+                params["dynamics_model"], flat, ctrl_rep
+            )
+            eps = jax.random.normal(k_noise, pred.shape, pred.dtype)
+            particles = (pred + jnp.einsum("bij,bj->bi", tril, eps)).reshape(
+                n, mp, d
+            )
+
+            # --- local log-liks + GLOBAL normalize (pmax + psum) ---
+            log_liks = defn.measurement_model.log_likelihoods_from_features(
+                params["measurement_model"], particles, features_t
+            )
+            log_w = log_w + log_liks
+            w_max = jax.lax.pmax(jnp.max(log_w, axis=1), axis_name)  # (N,)
+            exp_w = jnp.exp(log_w - w_max[:, None])
+            total = jax.lax.psum(jnp.sum(exp_w, axis=1), axis_name)  # (N,)
+            log_w = log_w - w_max[:, None] - jnp.log(total)[:, None]
+            probs = jnp.exp(log_w)
+
+            # --- estimate: psum of local weighted sums ---
+            estimate = jax.lax.psum(
+                jnp.einsum("nm,nmd->nd", probs, particles), axis_name
+            )
+
+            # --- global systematic resampling ---
+            # Shard weight-mass offsets: mass of all lower shards.
+            local_mass = jnp.sum(probs, axis=1)  # (N,)
+            masses = jax.lax.all_gather(local_mass, axis_name)  # (P, N)
+            offset = jnp.sum(
+                jnp.where(
+                    (jnp.arange(num_shards) < my_shard)[:, None], masses, 0.0
+                ),
+                axis=0,
+            )  # (N,)
+            local_cdf = jnp.cumsum(probs, axis=1) + offset[:, None]
+
+            # Everyone needs all source particles for the gather; (M, D) is
+            # tiny at filter state dims.
+            all_particles = jax.lax.all_gather(
+                particles, axis_name, axis=1, tiled=True
+            )  # (N, M_global, D)
+            all_cdf = jax.lax.all_gather(
+                local_cdf, axis_name, axis=1, tiled=True
+            )  # (N, M_global) — monotone by construction
+            all_cdf = all_cdf / all_cdf[:, -1:]
+
+            # Stratified positions; identical u0 on every shard, each shard
+            # produces its own Mp output slots.
+            u0 = jax.random.uniform(k_resample, (n, 1))
+            slots = my_shard * mp + jnp.arange(mp)[None, :]
+            positions = (u0 + slots) / m_global
+            idx = jax.vmap(jnp.searchsorted)(all_cdf, positions)
+            idx = jnp.clip(idx, 0, m_global - 1)
+            particles = jnp.take_along_axis(
+                all_particles, idx[:, :, None], axis=1
+            )
+            log_w = jnp.full((n, mp), -jnp.log(float(m_global)))
+            return (particles, log_w), estimate
+
+        (particles, log_w), estimates = jax.lax.scan(
+            step, (particles, log_weights), (features_seq, ctrl_seq, keys)
+        )
+        return particles, log_w, estimates
+
+    particle_spec = PartitionSpec(None, axis_name, None)
+    weight_spec = PartitionSpec(None, axis_name)
+    replicated = PartitionSpec()
+
+    sharded = jax.shard_map(
+        per_device_loop,
+        mesh=mesh,
+        in_specs=(replicated, particle_spec, weight_spec, replicated,
+                  replicated, replicated),
+        out_specs=(particle_spec, weight_spec, replicated),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def loop(params, belief, obs_seq, ctrl_seq, key):
+        particles, log_w, estimates = sharded(
+            params, belief.particles, belief.log_weights, obs_seq, ctrl_seq, key
+        )
+        return type(belief)(particles, log_w), estimates
+
+    return loop

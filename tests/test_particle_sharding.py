@@ -1,0 +1,63 @@
+"""Particle-axis sharding: the PF loop with M sharded over 8 devices must
+track the linear-Gaussian oracle as well as the single-device filter."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalfilter_tpu.parallel.mesh import create_mesh
+from multimodalfilter_tpu.parallel.particle_sharding import (
+    make_particle_sharded_pf_loop,
+)
+
+import sys
+
+sys.path.insert(0, "tests")
+from test_filter_core import (  # noqa: E402
+    OBS_SPEC,
+    STATE_DIM,
+    CONTROL_DIM,
+    _GaussianMeasurementNet,
+    _LinearDynamicsNet,
+    _closed_form_kf,
+    _simulate,
+)
+from multimodalfilter_tpu.filtering import (  # noqa: E402
+    DynamicsDef,
+    MeasurementDef,
+    ParticleFilterDef,
+)
+
+
+def test_particle_sharded_pf_tracks_kf():
+    key = jax.random.PRNGKey(2)
+    states, obs, controls = _simulate(key, timesteps=30, batch=2)
+    pf = ParticleFilterDef(
+        dynamics_model=DynamicsDef(
+            _LinearDynamicsNet(), state_dim=STATE_DIM, control_dim=CONTROL_DIM
+        ),
+        measurement_model=MeasurementDef(
+            _GaussianMeasurementNet(), state_dim=STATE_DIM, obs_spec=OBS_SPEC
+        ),
+        state_dim=STATE_DIM,
+        control_dim=CONTROL_DIM,
+        obs_spec=OBS_SPEC,
+        num_particles_eval=2048,  # 256 per device on the 8-device mesh
+    )
+    params = pf.init(key)
+    mean0 = states[0]
+    cov0 = jnp.broadcast_to(0.1 * jnp.eye(STATE_DIM), (2, STATE_DIM, STATE_DIM))
+    belief = pf.initialize_beliefs(params, key, mean0, cov0, train=False)
+
+    mesh = create_mesh(8, axis_names=("particle",))
+    loop = make_particle_sharded_pf_loop(pf, mesh)
+    final_belief, estimates = loop(params, belief, {"y": obs}, controls, key)
+
+    assert final_belief.particles.shape == (2, 2048, STATE_DIM)
+    # Global weights normalized (logsumexp over the full M axis == 0).
+    lse = jax.scipy.special.logsumexp(final_belief.log_weights, axis=1)
+    np.testing.assert_allclose(np.asarray(lse), 0.0, atol=1e-4)
+
+    expected = _closed_form_kf(mean0, cov0, obs, controls)
+    err = np.abs(np.asarray(estimates[5:]) - expected[5:])
+    assert err.mean() < 0.08, err.mean()
