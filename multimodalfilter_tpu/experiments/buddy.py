@@ -195,6 +195,16 @@ class Buddy:
         if self._verbose:
             print(f"[buddy] loaded module {source!r} -> {target or source!r}")
 
+    def load_torch_checkpoint(self, path: str) -> None:
+        """Import a trained REFERENCE (PyTorch/fannypack) checkpoint into the
+        attached model (see experiments/torch_import.py for the conversion
+        rules)."""
+        from .torch_import import load_reference_checkpoint
+
+        self.model.params = load_reference_checkpoint(path, self.model.definition)
+        if self._verbose:
+            print(f"[buddy] imported torch checkpoint: {path}")
+
     # -- logging -------------------------------------------------------------
     def log_scope(self, scope: str):
         return self._logger.log_scope(scope)
