@@ -49,7 +49,10 @@ def configure(
     globals()["mesh"] = mesh
 
 
-def train_pf_dynamics_single_step(*, epochs, batch_size=32, model=None):
+def train_pf_dynamics_single_step(
+    *, epochs, batch_size=32, model=None, loss_function="mse"
+):
+    assert loss_function == "mse", "Only the reference's MSE loss is supported"
     model = model if model is not None else filter_model
     dataset = SingleStepDataset(trajectories=trajectories)
     return _train.train_dynamics_single_step(
@@ -57,7 +60,10 @@ def train_pf_dynamics_single_step(*, epochs, batch_size=32, model=None):
     )
 
 
-def train_pf_dynamics_recurrent(*, subsequence_length, epochs, batch_size=32, model=None):
+def train_pf_dynamics_recurrent(
+    *, subsequence_length, epochs, batch_size=32, model=None, loss_function="mse"
+):
+    assert loss_function == "mse", "Only the reference's MSE loss is supported"
     model = model if model is not None else filter_model
     dataset = SubsequenceDataset(
         trajectories=trajectories, subsequence_length=subsequence_length
