@@ -395,3 +395,108 @@ def test_import_crossmodal_pf_checkpoint():
     np.testing.assert_allclose(
         np.asarray(ll_fused), expected.numpy(), rtol=2e-4, atol=1e-5
     )
+
+
+class TorchKFGate(nn.Module):
+    # Reference crossmodal_kf.py:108-123 (sigmoid weighting).
+    def __init__(self, state_dim=3):
+        super().__init__()
+        self.observation_image_layers = image_encoder()
+        self.observation_pos_layers = mlp_encoder(3)
+        self.observation_sensors_layers = mlp_encoder(7)
+        self.fusion_layers = nn.Sequential(
+            nn.Linear(UNITS * 3, UNITS), nn.ReLU(), Resblock(UNITS),
+            nn.Linear(UNITS, 2 * state_dim), nn.Sigmoid(),
+        )
+
+    def forward(self, obs):
+        feats = torch.cat(
+            [
+                self.observation_image_layers(obs["image"][:, None]),
+                self.observation_pos_layers(obs["gripper_pos"]),
+                self.observation_sensors_layers(obs["gripper_sensors"]),
+            ],
+            -1,
+        )
+        return self.fusion_layers(feats)
+
+
+def test_import_crossmodal_kf_checkpoint():
+    """Crossmodal-EKF-shaped checkpoint: filter_models.{0,1} child EKFs +
+    crossmodal_weight_model convert; gate weights match torch (up to the
+    documented batch-independent reshape + normalization we apply on top of
+    the raw sigmoid output)."""
+    from multimodalfilter_tpu.filtering import (
+        CrossmodalKFDef,
+        DynamicsDef,
+        KFWeightDef,
+        VirtualSensorDef,
+        VirtualSensorEKFDef,
+    )
+    from multimodalfilter_tpu.models import DynamicsNet, KFWeightNet, VirtualSensorNet
+
+    def child():
+        return VirtualSensorEKFDef(
+            dynamics_model=DynamicsDef(
+                DynamicsNet(state_dim=3, q_scale_tril_diag=(0.1, 0.1, 0.1),
+                            units=UNITS),
+                state_dim=3,
+            ),
+            virtual_sensor_model=VirtualSensorDef(
+                VirtualSensorNet(3, ("image", "pos", "sensors"), UNITS,
+                                 add_R_noise=1e-6),
+                state_dim=3,
+            ),
+            state_dim=3,
+        )
+
+    defn = CrossmodalKFDef(
+        filter_models=(child(), child()),
+        crossmodal_weight_model=KFWeightDef(
+            KFWeightNet(state_dim=3, modality_count=2, units=UNITS), state_dim=3
+        ),
+        state_dim=3,
+    )
+
+    state_dict = {}
+    torch_children = []
+    for i in range(2):
+        dyn, vs = TorchDynamics(), TorchVirtualSensor()
+        torch_children.append((dyn, vs))
+        state_dict.update(
+            {f"filter_models.{i}.dynamics_model.{k}": v
+             for k, v in dyn.state_dict().items()}
+        )
+        state_dict.update(
+            {f"filter_models.{i}.virtual_sensor_model.{k}": v
+             for k, v in vs.state_dict().items()}
+        )
+    torch_gate = TorchKFGate()
+    state_dict.update(
+        {f"crossmodal_weight_model.{k}": v for k, v in torch_gate.state_dict().items()}
+    )
+
+    params = convert_filter_state_dict(state_dict, defn)
+
+    obs = _obs(seed=7)
+    w_jax = np.asarray(
+        defn.crossmodal_weight_model.apply(
+            params["crossmodal_weight_model"], _jnp_obs(obs)
+        )
+    )  # (K, N, D), normalized over K
+    raw = torch_gate({k: torch.from_numpy(v) for k, v in obs.items()}).numpy()
+    # Our (documented) batch-independent reshape + modality normalization.
+    expected = raw.reshape(raw.shape[0], 2, 3).transpose(1, 0, 2)
+    expected = expected / (expected.sum(axis=0) + 1e-9)
+    np.testing.assert_allclose(w_jax, expected, rtol=2e-4, atol=1e-5)
+
+    # Child virtual sensors imported correctly too.
+    z_jax, _ = defn.filter_models[1].virtual_sensor_model.apply(
+        params["filter_models"]["1"]["virtual_sensor_model"], _jnp_obs(obs)
+    )
+    z_torch, _ = torch_children[1][1](
+        {k: torch.from_numpy(v) for k, v in obs.items()}
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_jax), z_torch.numpy(), rtol=2e-4, atol=1e-5
+    )
