@@ -82,10 +82,13 @@ def make_sharded_epoch_fn(loss_fn, tx, frozen_paths: FrozenSet[str], mesh):
 def make_shardmap_train_step(
     loss_fn, tx, frozen_paths: FrozenSet[str], mesh, axis_name: str = "data"
 ):
-    """Explicit-collective variant: per-device grads averaged with psum."""
-    from jax import shard_map
+    """Explicit-collective variant: per-device grads averaged with pmean.
 
-    n_dev = mesh.shape[axis_name]
+    One jitted dispatch per batch — fine for validation/dryruns, but real
+    train loops should use ``make_shardmap_epoch_fn`` below (epoch-level jit
+    with donated carries; see CLAUDE.md trap #3 on per-batch dispatch cost).
+    """
+    from jax import shard_map
 
     def per_device(params, batch, key):
         # Per-device loss averaged globally with an explicit ICI collective.
@@ -112,5 +115,53 @@ def make_shardmap_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    del n_dev
     return step
+
+
+def make_shardmap_epoch_fn(
+    loss_fn, tx, frozen_paths: FrozenSet[str], mesh, axis_name: str = "data"
+):
+    """Epoch-level twin of ``make_shardmap_train_step``: one jitted execution
+    scans every batch of a shuffled epoch, with the per-batch forward/backward
+    run inside an explicit ``shard_map`` and the grad reduction a hand-placed
+    ``pmean`` over the mesh's data axis. Same contract as
+    ``make_sharded_epoch_fn`` (GSPMD variant) so the two are interchangeable
+    in train/loops.py."""
+    from jax import shard_map
+
+    batch_spec = PartitionSpec(axis_name)
+    replicated = PartitionSpec()
+
+    def per_device(params, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        loss = jax.lax.pmean(loss, axis_name)
+        grads = jax.lax.pmean(grads, axis_name)
+        return loss, grads
+
+    sharded_grad_fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(replicated, batch_spec, replicated),
+        out_specs=(replicated, replicated),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def epoch(params, opt_state, data, idx_matrix, key):
+        def body(carry, inputs):
+            params, opt_state = carry
+            idx, step_key = inputs
+            batch = jax.tree_util.tree_map(lambda a: a[idx], data)
+            loss, grads = sharded_grad_fn(params, batch, step_key)
+            grads = zero_frozen_grads(grads, frozen_paths)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        keys = jax.random.split(key, idx_matrix.shape[0])
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (idx_matrix, keys)
+        )
+        return params, opt_state, jnp.mean(losses)
+
+    return epoch

@@ -22,6 +22,14 @@ def create_mesh(
     """1-D (default) mesh over the first n devices."""
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"create_mesh({n_devices}) but only {len(devices)} "
+                f"{devices[0].platform} device(s) are visible. For a virtual "
+                "CPU mesh set XLA_FLAGS=--xla_force_host_platform_device_count"
+                f"={n_devices} and jax.config.update('jax_platforms', 'cpu') "
+                "BEFORE any backend is initialized (see tests/conftest.py)."
+            )
         devices = devices[:n_devices]
     shape = (len(devices),) + (1,) * (len(axis_names) - 1)
     return Mesh(np.array(devices).reshape(shape), axis_names)
