@@ -4,7 +4,12 @@ filter at 100 particles (eval mode), per the north-star metric
 
 Prints ONE JSON line:
   {"metric": "filter_steps_per_sec_per_chip", "value": N, "unit": "steps/s",
-   "vs_baseline": N / <torch-CPU steps/s>}
+   "vs_baseline": N / <torch-CPU steps/s>,
+   "value_saturated": N at BENCH_SAT_BATCH (default 256; the chip is ~4x
+   under-utilized at the like-for-like N=16),
+   "mfu": model FLOPs utilization of the saturated run (XLA cost-analysis
+   FLOPs per filter-step x steps/s / chip peak),
+   "train_steps_per_sec": e2e BPTT training throughput}
 
 The baseline is an architecture-equivalent PyTorch-CPU implementation of the
 same recursion (dynamics propagation + 2 measurement models + gate +
@@ -22,6 +27,7 @@ import time
 import numpy as np
 
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+SAT_BATCH = int(os.environ.get("BENCH_SAT_BATCH", "256"))
 PARTICLES = int(os.environ.get("BENCH_PARTICLES", "100"))
 TIMESTEPS = int(os.environ.get("BENCH_T", "100"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
@@ -31,6 +37,14 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 # few ms). A production serving loop keeps work device-resident the same way.
 CHAIN = int(os.environ.get("BENCH_CHAIN", "16"))
 TORCH_STEPS = int(os.environ.get("BENCH_TORCH_STEPS", "10"))
+
+# Peak MXU throughput used for the MFU estimate: TPU v5 lite (v5e) bf16 peak,
+# 197 TFLOP/s. The bf16 number is the right roofline denominator even for the
+# default fp32 model: this environment compiles with
+# --xla_allow_excess_precision=true, under which XLA executes fp32 matmuls/
+# convs as bf16 MXU passes (measured: an fp32-peak denominator yields an
+# impossible >100% MFU).
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", "1.97e14"))
 
 
 def log(msg):
@@ -42,13 +56,14 @@ def log(msg):
 # ---------------------------------------------------------------------------
 
 
-def bench_jax() -> float:
+def bench_jax(batch: int = BATCH, measure_flops: bool = False):
+    """Returns (filter_steps_per_sec, flops_per_filter_step | None)."""
     import jax
     import jax.numpy as jnp
 
     from crossmodal.door_models import DoorCrossmodalParticleFilter
 
-    log(f"[bench] devices: {jax.devices()}")
+    log(f"[bench] devices: {jax.devices()} (batch={batch})")
     model = DoorCrossmodalParticleFilter()
     # The fused Pallas update/resample kernel is bitwise-identical to the
     # jnp path on TPU (fp32-precision MXU matmuls) and ~30% faster;
@@ -72,15 +87,15 @@ def bench_jax() -> float:
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 5)
     obs_seq = {
-        "image": jax.random.normal(ks[0], (TIMESTEPS, BATCH, 32, 32), jnp.float32),
-        "gripper_pos": jax.random.normal(ks[1], (TIMESTEPS, BATCH, 3), jnp.float32),
+        "image": jax.random.normal(ks[0], (TIMESTEPS, batch, 32, 32), jnp.float32),
+        "gripper_pos": jax.random.normal(ks[1], (TIMESTEPS, batch, 3), jnp.float32),
         "gripper_sensors": jax.random.normal(
-            ks[2], (TIMESTEPS, BATCH, 7), jnp.float32
+            ks[2], (TIMESTEPS, batch, 7), jnp.float32
         ),
     }
-    controls_seq = jax.random.normal(ks[3], (TIMESTEPS, BATCH, 7), jnp.float32)
-    mean = jnp.zeros((BATCH, 3))
-    cov = jnp.broadcast_to(jnp.eye(3) * 0.1, (BATCH, 3, 3))
+    controls_seq = jax.random.normal(ks[3], (TIMESTEPS, batch, 7), jnp.float32)
+    mean = jnp.zeros((batch, 3))
+    cov = jnp.broadcast_to(jnp.eye(3) * 0.1, (batch, 3, 3))
     belief = defn.initialize_beliefs(model.params, ks[4], mean, cov, train=False)
 
     import functools
@@ -126,12 +141,29 @@ def bench_jax() -> float:
         )  # forces full execution + host roundtrip
         times.append(time.perf_counter() - t0)
     best = min(times)
-    steps_per_sec = TIMESTEPS * BATCH * CHAIN / best
+    steps_per_sec = TIMESTEPS * batch * CHAIN / best
     log(
-        f"[bench] jax: {best * 1e3:.1f} ms / {CHAIN}x{TIMESTEPS}x{BATCH} steps "
+        f"[bench] jax: {best * 1e3:.1f} ms / {CHAIN}x{TIMESTEPS}x{batch} steps "
         f"-> {steps_per_sec:.0f} steps/s (chained; ~30ms tunnel RTT amortized)"
     )
-    return steps_per_sec
+
+    flops_per_step = None
+    if measure_flops:
+        try:
+            compiled = run_chained.lower(
+                model.params, belief, obs_seq, controls_seq, key, 1
+            ).compile()
+            ca = compiled.cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops_per_step = float(ca["flops"]) / (TIMESTEPS * batch)
+            log(
+                f"[bench] XLA cost analysis: {flops_per_step / 1e6:.2f} "
+                "MFLOPs / filter-step"
+            )
+        except Exception as exc:  # cost analysis is backend-best-effort
+            log(f"[bench] cost analysis unavailable: {exc}")
+    return steps_per_sec, flops_per_step
 
 
 # ---------------------------------------------------------------------------
@@ -307,7 +339,12 @@ def bench_train() -> float:
 
     seq_len, batch, steps = 16, 32, 16
     model = DoorCrossmodalParticleFilter()
-    defn = dataclasses.replace(model.definition)
+    # Train-mode fused Pallas update+estimate (custom VJP) — opt-out with
+    # BENCH_PALLAS=0.
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1" and (
+        jax.default_backend() == "tpu"
+    )
+    defn = dataclasses.replace(model.definition, pallas_resample=use_pallas)
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 5)
     n_rows = batch * 2
@@ -379,9 +416,29 @@ def bench_train() -> float:
 
 
 def main():
-    jax_sps = bench_jax()
+    jax_sps, _ = bench_jax()
+
+    # Saturated config + MFU: the like-for-like N=16 number leaves the chip
+    # ~4x under-utilized (VERDICT r1 weak #3); report a serving-batch figure
+    # and the model-FLOPs utilization it implies.
+    sat_sps, mfu = None, None
+    if os.environ.get("BENCH_SATURATED", "1") == "1" and SAT_BATCH != BATCH:
+        try:
+            sat_sps, flops_per_step = bench_jax(
+                batch=SAT_BATCH, measure_flops=True
+            )
+            if flops_per_step:
+                mfu = sat_sps * flops_per_step / PEAK_FLOPS
+                log(
+                    f"[bench] MFU (saturated, N={SAT_BATCH}): {mfu * 100:.2f}% "
+                    f"of {PEAK_FLOPS / 1e12:.0f} TFLOP/s peak"
+                )
+        except Exception as exc:
+            log(f"[bench] saturated bench failed: {exc}")
+
+    train_sps = None
     try:
-        bench_train()
+        train_sps = bench_train()
     except Exception as exc:
         log(f"[bench] train bench failed: {exc}")
     try:
@@ -397,6 +454,10 @@ def main():
                 "value": round(jax_sps, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "value_saturated": round(sat_sps, 1) if sat_sps else None,
+                "saturated_batch": SAT_BATCH if sat_sps else None,
+                "mfu": round(mfu, 4) if mfu else None,
+                "train_steps_per_sec": round(train_sps, 1) if train_sps else None,
             }
         )
     )

@@ -19,6 +19,22 @@ Handled representation differences:
   - fannypack resblock child names are auto-detected (two linear children,
     ordered by name).
 
+Semantics caveat (crossmodal-KF gate): the reference's weight model reshapes
+its (N, K*state_dim) gate output row-major to (K, N, state_dim)
+(/root/reference/crossmodal/door_models/crossmodal_kf.py:158), which mixes
+weights across batch elements. This framework deliberately fixes that
+(batch-independent reshape — models/task_nets.py:KFWeightNet), so a trained
+reference crossmodal-KF checkpoint imported here produces reference-equal
+outputs only at batch size N=1. For bit-faithful N>1 validation, flip the
+gate net's flag after import:
+
+    gate = defn.crossmodal_weight_model
+    defn = dataclasses.replace(defn, crossmodal_weight_model=
+        dataclasses.replace(gate, net=dataclasses.replace(
+            gate.net, reference_reshape=True)))
+
+(tested in tests/test_torch_import.py::test_import_gate_reference_reshape).
+
 Usage:
     params = convert_filter_state_dict(state_dict, model.definition)
     model.params = params

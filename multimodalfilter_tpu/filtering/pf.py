@@ -40,9 +40,12 @@ class ParticleFilterDef(FilterDef):
     num_particles_eval: int = 300
     soft_resample_alpha: float = 1.0
     estimation_method: str = "weighted_average"
-    # Fuse weight-update + estimate + resample into one Pallas kernel
-    # (ops/pallas_pf.py). Bitwise-identical to the jnp path given the same
-    # key; opt-in (eval mode + multinomial resampling only).
+    # Fuse the PF step tail into one Pallas kernel (ops/pallas_pf.py):
+    # eval mode fuses weight-update + estimate + (multinomial or soft)
+    # resample — the multinomial small-M kernel is bitwise-identical to the
+    # jnp path given the same key; train mode fuses weight-update + estimate
+    # with a custom-VJP backward kernel (no resampling, matching
+    # torchfilter's train default). Opt-in.
     pallas_resample: bool = False
 
     def num_particles(self, train: bool) -> int:
@@ -90,26 +93,30 @@ class ParticleFilterDef(FilterDef):
         # --- Measurement update ---
         log_liks = log_lik_fn(particles)
 
-        if (
-            not train
-            and self.pallas_resample
-            and self.soft_resample_alpha >= 1.0
-            and self.estimation_method == "weighted_average"
-            # The kernel's (rows, M, M) one-hot/compare intermediates must fit
-            # VMEM; beyond ~1k particles the jnp searchsorted path wins anyway
-            # (the O(M^2) inverse-CDF search stops being the cheap option).
-            and m <= 1024
-        ):
-            # Fused Pallas path: normalize + estimate + resample in one
-            # VMEM-resident kernel.
-            from ..ops.pallas_pf import pf_update_and_resample
-
-            uniforms = jax.random.uniform(k_resample, (n, m))
+        if self.pallas_resample and self.estimation_method == "weighted_average":
             interpret = jax.default_backend() != "tpu"
-            particles, log_weights, estimate = pf_update_and_resample(
-                log_weights, log_liks, particles, uniforms, interpret=interpret
-            )
-            return ParticleBelief(particles, log_weights), estimate
+            if train:
+                # Fused train-mode update + estimate (custom-VJP Pallas
+                # kernels both ways); no resampling during BPTT.
+                from ..ops.pallas_pf import pf_update_estimate
+
+                log_weights, estimate = pf_update_estimate(
+                    log_weights, log_liks, particles, interpret
+                )
+                return ParticleBelief(particles, log_weights), estimate
+            from ..ops.pallas_pf import CHUNKED_M_MAX, pf_update_and_resample
+
+            # VMEM guard: the chunked kernel keeps O(M*CHUNK) intermediates;
+            # beyond CHUNKED_M_MAX fall through to the jnp path.
+            if m <= CHUNKED_M_MAX:
+                # Fused eval path: normalize + estimate + resample in one
+                # VMEM-resident kernel (multinomial or soft by alpha).
+                uniforms = jax.random.uniform(k_resample, (n, m))
+                particles, log_weights, estimate = pf_update_and_resample(
+                    log_weights, log_liks, particles, uniforms,
+                    alpha=self.soft_resample_alpha, interpret=interpret,
+                )
+                return ParticleBelief(particles, log_weights), estimate
 
         log_weights = log_weights + log_liks
         log_weights = log_weights - jax.scipy.special.logsumexp(

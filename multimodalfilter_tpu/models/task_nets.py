@@ -244,6 +244,16 @@ class KFWeightNet(nn.Module):
 
     weighting_type in {"sigmoid", "softmax", "absolute"}; reference hardcodes
     "sigmoid" (crossmodal_kf.py:111).
+
+    reference_reshape: the reference reshapes its (N, K*D) gate output
+    row-major straight to (K, N, D) (crossmodal_kf.py:158), which mixes
+    weights ACROSS batch elements — results then depend on batch composition.
+    Default False uses the batch-independent (N, K, D) -> transpose reshape
+    (required for data-parallel sharding to be semantics-preserving); a
+    checkpoint trained by the reference therefore reproduces reference
+    outputs only at N=1 unless this flag is set. Set True (e.g. via
+    ``dataclasses.replace`` on the net inside the imported def) for
+    bit-faithful validation of imported reference checkpoints at N>1.
     """
 
     state_dim: int
@@ -251,6 +261,7 @@ class KFWeightNet(nn.Module):
     units: int = 64
     weighting_type: str = "sigmoid"
     dtype: Any = None
+    reference_reshape: bool = False
 
     @nn.compact
     def __call__(self, observations):
@@ -267,9 +278,16 @@ class KFWeightNet(nn.Module):
         if self.weighting_type == "sigmoid":
             x = jax.nn.sigmoid(x)
 
-        # Batch-independent reshape (deliberate fix of the reference's
-        # batch-mixing reshape; see module docstring).
-        weights = x.reshape(n, self.modality_count, self.state_dim).transpose(1, 0, 2)
+        if self.reference_reshape:
+            # Bit-faithful replication of the reference's batch-mixing
+            # reshape (crossmodal_kf.py:158) — import validation only.
+            weights = x.reshape(self.modality_count, n, self.state_dim)
+        else:
+            # Batch-independent reshape (deliberate fix of the reference's
+            # batch-mixing reshape; see class docstring).
+            weights = x.reshape(n, self.modality_count, self.state_dim).transpose(
+                1, 0, 2
+            )
 
         if self.weighting_type == "absolute":
             weights = jnp.abs(weights)

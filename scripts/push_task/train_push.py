@@ -95,16 +95,34 @@ def run_curriculum(filter_model, buddy, train_helpers, eval_helpers):
     elif isinstance(filter_model, pm.PushCrossmodalParticleFilterSeq5):
         # Warm-start dynamics + measurement models from a trained
         # cmpf_blackout0.0 experiment (train_push.py:109-116), then train the
-        # gate end-to-end with blackout awareness.
+        # gate end-to-end with blackout awareness. When the warm-start
+        # experiment doesn't exist, pretrain the same modules from scratch
+        # (mirroring the door branch's fallback, train_door.py dynamics
+        # warm-start try/except) instead of dying in a fresh workspace.
         measurement_model = filter_model.measurement_model
-        buddy.load_checkpoint_module(
-            "dynamics_model", "dynamics_model", experiment_name="cmpf_blackout0.0"
-        )
-        buddy.load_checkpoint_module(
-            "measurement_model.measurement_models",
-            "measurement_model.measurement_models",
-            experiment_name="cmpf_blackout0.0",
-        )
+        try:
+            buddy.load_checkpoint_module(
+                "dynamics_model", "dynamics_model", experiment_name="cmpf_blackout0.0"
+            )
+            buddy.load_checkpoint_module(
+                "measurement_model.measurement_models",
+                "measurement_model.measurement_models",
+                experiment_name="cmpf_blackout0.0",
+            )
+        except (FileNotFoundError, AssertionError):
+            # From-scratch stand-in for the warm start: the dynamics +
+            # per-modality measurement pretraining phases of the base
+            # PushCrossmodalParticleFilter curriculum.
+            freeze_module(measurement_model.crossmodal_weight_model)
+            train_helpers.train_pf_dynamics_single_step(epochs=5)
+            train_helpers.train_pf_dynamics_recurrent(subsequence_length=4, epochs=5)
+            train_helpers.train_pf_dynamics_recurrent(subsequence_length=8, epochs=5)
+            train_helpers.train_pf_dynamics_recurrent(subsequence_length=16, epochs=5)
+            freeze_module(filter_model.dynamics_model)
+            measurement_model.enabled_models = [True, False]
+            train_helpers.train_pf_measurement(epochs=3, batch_size=64)
+            measurement_model.enabled_models = [False, True]
+            train_helpers.train_pf_measurement(epochs=3, batch_size=64)
 
         measurement_model.enabled_models = [True, True]
         unfreeze_module(measurement_model.crossmodal_weight_model)

@@ -190,10 +190,11 @@ def test_run_eval_metrics(trained_pf, synth_env):
     )
     results = eh.run_eval()
     for key in ("raw_rmse", "theta_rmse_deg", "x_rmse_cm", "y_rmse_cm",
-                "filter_steps_per_sec"):
+                "filter_steps_per_sec", "filter_steps_per_sec_e2e"):
         assert key in results
     assert np.isfinite(results["theta_rmse_deg"])
     assert results["filter_steps_per_sec"] > 0
+    assert results["filter_steps_per_sec_e2e"] > 0
     assert len(results["raw_rmse"]) == 3
 
 

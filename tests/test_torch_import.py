@@ -500,3 +500,60 @@ def test_import_crossmodal_kf_checkpoint():
     np.testing.assert_allclose(
         np.asarray(z_jax), z_torch.numpy(), rtol=2e-4, atol=1e-5
     )
+
+
+def test_import_gate_reference_reshape():
+    """The documented import-parity caveat: with reference_reshape=True the
+    imported gate matches the reference's (batch-mixing) semantics EXACTLY at
+    N > 1; with the default (batch-independent) reshape it matches the
+    reference only at N = 1."""
+    import dataclasses
+
+    from multimodalfilter_tpu.filtering import KFWeightDef
+    from multimodalfilter_tpu.models import KFWeightNet
+
+    torch_gate = TorchKFGate()
+    sub = {k: v for k, v in torch_gate.state_dict().items()}
+
+    from multimodalfilter_tpu.experiments.torch_import import convert_kf_weight
+
+    params = convert_kf_weight(sub)
+
+    def reference_weights(obs, n):
+        """The reference forward (crossmodal_kf.py:144-165): raw sigmoid
+        output reshaped ROW-MAJOR to (K, N, D), then modality-normalized."""
+        raw = torch_gate({k: torch.from_numpy(v) for k, v in obs.items()}).numpy()
+        w = raw.reshape(2, n, 3)
+        return w / (w.sum(axis=0) + 1e-9)
+
+    # N > 1: reference_reshape=True is bit-faithful to the reference.
+    n = 4
+    obs = _obs(n=n, seed=11)
+    faithful = KFWeightDef(
+        KFWeightNet(state_dim=3, modality_count=2, units=UNITS,
+                    reference_reshape=True),
+        state_dim=3,
+    )
+    w_faithful = np.asarray(faithful.apply(params, _jnp_obs(obs)))
+    np.testing.assert_allclose(
+        w_faithful, reference_weights(obs, n), rtol=2e-4, atol=1e-5
+    )
+
+    # ... while the default reshape deliberately diverges at N > 1 ...
+    fixed = KFWeightDef(
+        KFWeightNet(state_dim=3, modality_count=2, units=UNITS), state_dim=3
+    )
+    w_fixed = np.asarray(fixed.apply(params, _jnp_obs(obs)))
+    assert not np.allclose(w_fixed, reference_weights(obs, n), atol=1e-4)
+
+    # ... and both agree with the reference at N = 1.
+    obs1 = {k: v[:1] for k, v in obs.items()}
+    ref1 = reference_weights(obs1, 1)
+    np.testing.assert_allclose(
+        np.asarray(fixed.apply(params, _jnp_obs(obs1))), ref1,
+        rtol=2e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(faithful.apply(params, _jnp_obs(obs1))), ref1,
+        rtol=2e-4, atol=1e-5,
+    )
