@@ -128,6 +128,21 @@ class StatefulFilter:
 
     def __init__(self, definition, seed: int = 0):
         init_key, self._rng = jax.random.split(jax.random.PRNGKey(seed))
+        # Production opt-in: MMF_TPU_PALLAS=1 turns on the fused Pallas PF
+        # kernels (ops/pallas_pf.py) for every particle filter built through
+        # this facade — bitwise-identical eval resampling, ~+30% eval loop /
+        # +14% BPTT train throughput on TPU (scripts/tpu_smoke.py validates
+        # on hardware).
+        import os
+
+        from .pf import ParticleFilterDef
+
+        if (
+            os.environ.get("MMF_TPU_PALLAS", "0") == "1"
+            and isinstance(definition, ParticleFilterDef)
+            and not definition.pallas_resample
+        ):
+            definition = dataclasses.replace(definition, pallas_resample=True)
         self.definition = definition
         # jit the init: eager flax init dispatches hundreds of small ops,
         # which is pathological over a remote-TPU tunnel.

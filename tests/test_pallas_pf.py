@@ -251,3 +251,15 @@ def test_pf_def_pallas_train_matches_default():
             np.asarray(a), np.asarray(b), atol=1e-5,
             err_msg=f"grad mismatch at {p1}",
         )
+
+
+def test_env_opt_in_enables_pallas(monkeypatch):
+    """MMF_TPU_PALLAS=1 flips pallas_resample on any PF built through the
+    StatefulFilter facade (production opt-in; CLAUDE.md)."""
+    monkeypatch.setenv("MMF_TPU_PALLAS", "1")
+    from crossmodal.door_models import DoorCrossmodalParticleFilter, DoorKalmanFilter
+
+    assert DoorCrossmodalParticleFilter().definition.pallas_resample
+    DoorKalmanFilter()  # non-PF defs pass through untouched
+    monkeypatch.delenv("MMF_TPU_PALLAS")
+    assert not DoorCrossmodalParticleFilter().definition.pallas_resample
