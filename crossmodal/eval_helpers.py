@@ -31,6 +31,7 @@ from typing import Dict, List
 
 import numpy as np
 
+from multimodalfilter_tpu import native
 from multimodalfilter_tpu.experiments import Buddy
 from multimodalfilter_tpu.utils import to_numpy
 
@@ -107,14 +108,18 @@ def _get_eval_batch():
         assert type(trajectories) == list
 
         min_timesteps = min(s.shape[0] for s, o, c in trajectories)
-        states = np.stack([s[:min_timesteps] for s, o, c in trajectories], axis=1)
-        controls = np.stack(
-            [c[:min_timesteps] for s, o, c in trajectories], axis=1
+        # Time-major (T, N, ...) batch assembly via the native host engine
+        # (numpy fallback inside); bitwise np.stack([a[:t_min]], axis=1).
+        states = native.stack_axis1(
+            [s for s, o, c in trajectories], min_timesteps
+        )
+        controls = native.stack_axis1(
+            [c for s, o, c in trajectories], min_timesteps
         )
         obs_keys = trajectories[0].observations.keys()
         observations = {
-            k: np.stack(
-                [o[k][:min_timesteps] for s, o, c in trajectories], axis=1
+            k: native.stack_axis1(
+                [o[k] for s, o, c in trajectories], min_timesteps
             )
             for k in obs_keys
         }

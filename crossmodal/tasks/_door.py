@@ -20,6 +20,7 @@ from typing import Any, Dict, List
 
 import numpy as np
 
+from multimodalfilter_tpu import native
 from multimodalfilter_tpu.data import TrajectoriesFile, cached_file
 from multimodalfilter_tpu.types import Trajectory
 
@@ -129,7 +130,10 @@ def make_controls(eef_positions: np.ndarray, contact: np.ndarray) -> np.ndarray:
 def _normalize(array: np.ndarray, mean_key: str, std_key: str) -> np.ndarray:
     mean = np.array(NORMALIZATION[mean_key], dtype=np.float32)
     std = np.array(NORMALIZATION[std_key], dtype=np.float32)
-    return (array - mean) / std
+    # native.normalize runs the same float32 (x - mean) / std elementwise (in
+    # C, multithreaded) and falls back to numpy when the engine is absent —
+    # bitwise-identical either way (tests/test_native_engine.py).
+    return native.normalize(array, mean, std)
 
 
 def _load_trajectories(
@@ -189,16 +193,19 @@ def _load_trajectories(
             if not use_haptics:
                 gripper_sensors[:] = 0
 
-            # 64x64 -> 32x32 via stride-2 subsampling (reference :174-179).
-            image = np.asarray(raw["image"], dtype=np.float32)[:, ::2, ::2]
+            # 64x64 -> 32x32 via stride-2 subsampling (reference :174-179),
+            # then per-timestep blackout masking — both through the native
+            # host engine (numpy fallback inside the wrappers).
+            image = native.subsample2(np.asarray(raw["image"], dtype=np.float32))
             assert image.shape == (timesteps, 32, 32)
-            image = image * make_image_mask(
+            mask = make_image_mask(
                 timesteps,
                 use_vision=use_vision,
                 image_blackout_ratio=image_blackout_ratio,
                 sequential_image_rate=sequential_image_rate,
                 rng=rng,
             )
+            image = native.apply_mask(image, mask)
 
             # NOTE: the reference's observations["gripper_pos"] aliases the
             # raw eef_pos array, so --no_proprioception zeroes the controls

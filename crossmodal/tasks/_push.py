@@ -18,6 +18,7 @@ from typing import Any, Dict, List
 
 import numpy as np
 
+from multimodalfilter_tpu import native
 from multimodalfilter_tpu.data import TrajectoriesFile, cached_file
 from multimodalfilter_tpu.types import Trajectory
 
@@ -146,7 +147,9 @@ def _load_trajectories(
     def normalize(arr, key):
         mean = np.array(norm[f"{key}_mean"], dtype=np.float32)
         std = np.array(norm[f"{key}_std"], dtype=np.float32)
-        return (arr - mean) / std
+        # Native host engine (numpy fallback inside); bitwise-equal to
+        # (arr - mean) / std in float32.
+        return native.normalize(arr, mean, std)
 
     trajectories: List[Trajectory] = []
     for entry in input_files:
@@ -195,12 +198,15 @@ def _load_trajectories(
             if not use_haptics:
                 gripper_sensors[:] = 0
 
-            image = image * make_image_mask(
-                timesteps,
-                use_vision=use_vision,
-                image_blackout_ratio=image_blackout_ratio,
-                sequential_image_rate=sequential_image_rate,
-                rng=rng,
+            image = native.apply_mask(
+                np.ascontiguousarray(image, dtype=np.float32),
+                make_image_mask(
+                    timesteps,
+                    use_vision=use_vision,
+                    image_blackout_ratio=image_blackout_ratio,
+                    sequential_image_rate=sequential_image_rate,
+                    rng=rng,
+                ),
             )
 
             # Controls from the (possibly zeroed) positions — same aliasing

@@ -55,28 +55,53 @@ class SingleStepDataset:
 
 
 class SubsequenceDataset:
-    """Non-overlapping contiguous subsequences of fixed length.
+    """Contiguous subsequences of fixed length.
 
-    Arrays are stored time-major: states (B, L, D) etc. (train loops swap to
-    (L, B, ...) per batch for scan).
+    Default (`stride=None`) takes non-overlapping windows — capability parity
+    with ``torchfilter.data.SubsequenceDataset`` (reference usage
+    crossmodal/train_helpers.py:62-69,142-150). Passing ``stride <
+    subsequence_length`` yields overlapping windows (more training windows
+    from the same trajectories — a capability the torch version lacks);
+    assembly runs through the native host engine's threaded window gather
+    (numpy fallback inside ``native.window_gather``).
+
+    Arrays are stored window-major: states (B, L, D) etc. (train loops swap
+    to (L, B, ...) per batch for scan).
     """
 
-    def __init__(self, trajectories: List[Trajectory], subsequence_length: int):
+    def __init__(
+        self,
+        trajectories: List[Trajectory],
+        subsequence_length: int,
+        stride: int = None,
+    ):
+        from .. import native
+
         self.subsequence_length = subsequence_length
+        if stride is None:
+            stride = subsequence_length
+        assert stride >= 1
         states, controls = [], []
         obs_list = []
         for traj in trajectories:
             s, o, c = traj.states, traj.observations, traj.controls
             t = s.shape[0]
-            num = t // subsequence_length
-            if num == 0:
+            if t < subsequence_length:
                 continue
-            usable = num * subsequence_length
-            states.append(s[:usable].reshape(num, subsequence_length, -1))
-            controls.append(c[:usable].reshape(num, subsequence_length, -1))
+            if stride == subsequence_length:
+                # Parity path: exactly the reference's non-overlapping
+                # windows (floor(T/L) of them, starting at 0, L, 2L, ...).
+                num = t // subsequence_length
+                starts = np.arange(num, dtype=np.int64) * subsequence_length
+            else:
+                starts = np.arange(
+                    0, t - subsequence_length + 1, stride, dtype=np.int64
+                )
+            states.append(native.window_gather(s, starts, subsequence_length))
+            controls.append(native.window_gather(c, starts, subsequence_length))
             obs_list.append(
                 {
-                    k: v[:usable].reshape((num, subsequence_length) + v.shape[1:])
+                    k: native.window_gather(v, starts, subsequence_length)
                     for k, v in o.items()
                 }
             )
