@@ -143,6 +143,16 @@ class StatefulFilter:
             and not definition.pallas_resample
         ):
             definition = dataclasses.replace(definition, pallas_resample=True)
+        # MMF_TPU_BF16=1: bf16 encoder compute for every network in the def
+        # (params stay fp32; see utils/precision.py). Training-quality sweep
+        # on TPU hardware (IMPLEMENTATION_NOTES round 2): door KF and PF
+        # curricula converge to RMSE within noise of fp32.
+        if os.environ.get("MMF_TPU_BF16", "0") == "1":
+            import jax.numpy as jnp
+
+            from ..utils.precision import with_compute_dtype
+
+            definition = with_compute_dtype(definition, jnp.bfloat16)
         self.definition = definition
         # jit the init: eager flax init dispatches hundreds of small ops,
         # which is pathological over a remote-TPU tunnel.
