@@ -5,8 +5,9 @@ filter at 100 particles (eval mode), per the north-star metric
 Prints ONE JSON line:
   {"metric": "filter_steps_per_sec_per_chip", "value": N, "unit": "steps/s",
    "vs_baseline": N / <torch-CPU steps/s>,
-   "value_saturated": N at BENCH_SAT_BATCH (default 256; the chip is ~4x
-   under-utilized at the like-for-like N=16),
+   "value_saturated": N at BENCH_SAT_BATCH (default 512 — the throughput
+   peak of the batch sweep: 1.23M @256, 1.29M @512, OOM @1024; the chip is
+   ~4x under-utilized at the like-for-like N=16),
    "mfu": model FLOPs utilization of the saturated run (XLA cost-analysis
    FLOPs per filter-step x steps/s / chip peak),
    "train_steps_per_sec": e2e BPTT training throughput}
@@ -27,7 +28,7 @@ import time
 import numpy as np
 
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
-SAT_BATCH = int(os.environ.get("BENCH_SAT_BATCH", "256"))
+SAT_BATCH = int(os.environ.get("BENCH_SAT_BATCH", "512"))
 PARTICLES = int(os.environ.get("BENCH_PARTICLES", "100"))
 TIMESTEPS = int(os.environ.get("BENCH_T", "100"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
