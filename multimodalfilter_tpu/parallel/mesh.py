@@ -17,10 +17,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 
 def create_mesh(
-    n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
 ) -> Mesh:
-    """1-D (default) mesh over the first n devices."""
+    """Mesh over the first n devices: 1-D by default, or an explicit grid —
+    e.g. ``create_mesh(8, ("data", "particle"), shape=(2, 4))`` for composed
+    DP x particle sharding."""
     devices = jax.devices()
+    if shape is not None:
+        assert len(shape) == len(axis_names), (shape, axis_names)
+        want = int(np.prod(shape))
+        assert n_devices is None or n_devices == want, (n_devices, shape)
+        n_devices = want
     if n_devices is not None:
         if len(devices) < n_devices:
             raise RuntimeError(
@@ -31,8 +40,9 @@ def create_mesh(
                 "BEFORE any backend is initialized (see tests/conftest.py)."
             )
         devices = devices[:n_devices]
-    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
-    return Mesh(np.array(devices).reshape(shape), axis_names)
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.array(devices).reshape(tuple(shape)), axis_names)
 
 
 def data_sharding(mesh: Mesh, ndim: int, axis: int = 0, axis_name: str = "data"):

@@ -27,16 +27,25 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec
 
 
-def make_particle_sharded_pf_loop(defn, mesh, axis_name: str = "particle"):
+def make_particle_sharded_pf_loop(
+    defn, mesh, axis_name: str = "particle", data_axis_name: str = None
+):
     """Build a forward_loop over a particle-sharded belief.
 
     Args:
       defn: a ParticleFilterDef (its dynamics/measurement defs are reused).
-      mesh: Mesh with `axis_name`; M must divide by its size.
+      mesh: Mesh with `axis_name`; M must divide by its size. If
+        `data_axis_name` is given the mesh is 2-D (data x particle): the
+        batch N additionally shards over the data axis (N divisible by its
+        size), the per-step collectives (pmax/psum/all_gather) stay on the
+        particle axis only, and each data row of the mesh filters its own
+        trajectory slice — DP eval and massive-M sharding composed on one
+        device grid.
 
     Returns:
       loop(params, belief, obs_seq, ctrl_seq, key) -> (belief, estimates)
-      where belief.particles is (N, M, D) globally (sharded over M).
+      where belief.particles is (N, M, D) globally (sharded over M, and
+      over N too in the 2-D case).
     """
     num_shards = mesh.shape[axis_name]
 
@@ -44,6 +53,12 @@ def make_particle_sharded_pf_loop(defn, mesh, axis_name: str = "particle"):
         """Runs on each shard: particles (N, Mp, D); log_weights (N, Mp)
         normalized GLOBALLY (logsumexp over all shards == 0)."""
         my_shard = jax.lax.axis_index(axis_name)
+        if data_axis_name is not None:
+            # Decorrelate the whole per-shard key stream across data rows:
+            # each row holds different trajectories, so strata and noise
+            # must be independent (matching what a per-row single-mesh run
+            # would draw from its own fold).
+            key = jax.random.fold_in(key, jax.lax.axis_index(data_axis_name))
         n, mp, d = particles.shape
         m_global = mp * num_shards
 
@@ -133,16 +148,20 @@ def make_particle_sharded_pf_loop(defn, mesh, axis_name: str = "particle"):
         )
         return particles, log_w, estimates
 
-    particle_spec = PartitionSpec(None, axis_name, None)
-    weight_spec = PartitionSpec(None, axis_name)
+    batch_axis = data_axis_name  # None -> batch replicated (1-D mesh)
+    particle_spec = PartitionSpec(batch_axis, axis_name, None)
+    weight_spec = PartitionSpec(batch_axis, axis_name)
     replicated = PartitionSpec()
+    # Sequences are time-major (T, N, ...): shard N in the 2-D case.
+    seq_spec = PartitionSpec(None, batch_axis) if batch_axis else replicated
+    est_spec = PartitionSpec(None, batch_axis) if batch_axis else replicated
 
     sharded = jax.shard_map(
         per_device_loop,
         mesh=mesh,
-        in_specs=(replicated, particle_spec, weight_spec, replicated,
-                  replicated, replicated),
-        out_specs=(particle_spec, weight_spec, replicated),
+        in_specs=(replicated, particle_spec, weight_spec, seq_spec,
+                  seq_spec, replicated),
+        out_specs=(particle_spec, weight_spec, est_spec),
         check_vma=False,
     )
 
