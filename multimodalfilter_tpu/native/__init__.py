@@ -57,13 +57,25 @@ def _build() -> Optional[ctypes.CDLL]:
     ).hexdigest()[:16]
     so_path = _cache_dir() / f"host_engine_{tag}.so"
     if not so_path.exists():
-        tmp = so_path.with_suffix(".so.tmp")
-        cmd = [
-            "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-            "-pthread", str(_SRC), "-o", str(tmp),
+        # Per-process temp name so concurrent builders never write the same
+        # file; the final os.replace is atomic (last writer wins, all
+        # writers produce identical bytes).
+        tmp = so_path.with_suffix(f".so.tmp{os.getpid()}")
+        base_cmd = [
+            "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+            str(_SRC), "-o", str(tmp),
         ]
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(tmp, so_path)  # atomic: concurrent builders race benignly
+        try:
+            subprocess.run(
+                base_cmd[:1] + ["-march=native"] + base_cmd[1:],
+                check=True, capture_output=True, timeout=120,
+            )
+        except subprocess.CalledProcessError:
+            # Some toolchains/VMs reject -march=native; retry portable.
+            subprocess.run(
+                base_cmd, check=True, capture_output=True, timeout=120
+            )
+        os.replace(tmp, so_path)
     lib = ctypes.CDLL(str(so_path))
     lib.mmf_abi_version.restype = ctypes.c_int
     if lib.mmf_abi_version() != _ABI_VERSION:
