@@ -6,8 +6,9 @@ Prints ONE JSON line:
   {"metric": "filter_steps_per_sec_per_chip", "value": N, "unit": "steps/s",
    "vs_baseline": N / <torch-CPU steps/s>,
    "value_saturated": N at BENCH_SAT_BATCH (default 512 — the throughput
-   peak of the batch sweep: 1.23M @256, 1.29M @512, OOM @1024; the chip is
-   ~4x under-utilized at the like-for-like N=16),
+   peak of the batch sweep: 280k @256, 291k @512, OOM @1024, corrected
+   loop-variant harness; the chip is under-utilized at the N=16
+   like-for-like config),
    "mfu": model FLOPs utilization of the saturated run (XLA cost-analysis
    FLOPs per filter-step x steps/s / chip peak),
    "train_steps_per_sec": e2e BPTT training throughput (reference-curriculum
@@ -107,12 +108,22 @@ def bench_jax(batch: int = BATCH, measure_flops: bool = False, bf16: bool = None
     @functools.partial(jax.jit, static_argnames=("reps",))
     def run_chained(params, belief, obs_seq, controls_seq, key, reps: int):
         """`reps` dependent forward_loops in one program (belief threads
-        through, so none can be elided)."""
+        through, so none can be elided). Each rep perturbs the observations
+        and controls by i*1e-12 — numerically a no-op in fp32 (below eps for
+        O(1) data) but it makes the inputs loop-VARIANT, so XLA cannot hoist
+        the scan-hoisted (T*N)-batched encoder passes out of the chain.
+        Without this the chain re-uses one encode for all reps and the
+        measured steps/s is ~2-4x higher than true fresh-data serving
+        throughput (this bug shipped in BENCH_r01: 404k at N=16 vs the
+        honest 179k)."""
 
         def body(carry, i):
             b, acc = carry
+            eps = i.astype(jnp.float32) * 1e-12
+            obs_i = jax.tree_util.tree_map(lambda v: v + eps, obs_seq)
+            ctrl_i = controls_seq + eps
             nb, est = defn.forward_loop(
-                params, b, obs_seq, controls_seq, jax.random.fold_in(key, i),
+                params, b, obs_i, ctrl_i, jax.random.fold_in(key, i),
                 train=False, enabled=(True, True),
             )
             return (nb, acc + est.sum()), None

@@ -7,13 +7,14 @@ force completion with a host scalar fetch — see CLAUDE.md "environment
 traps": single-dispatch timings through the remote-TPU tunnel are dominated
 by ~30ms RTT and identical executions are value-cached.
 
-Reference numbers on a v5e chip (round 1):
-  batch scaling  (M=100, T=100): N=16 -> 385k, N=64 -> 592k, N=128 -> 758k,
-                                 N=256 -> 939k filter-steps/s/chip
-  particle scaling (N=16, T=100, chained): M=100 -> 259k steps/s
-                                 (25.9M particle-updates/s), M=300 -> 194k
-                                 (58.3M), M=1000 -> 85k (84.6M)
-  eval scale (T=800, N=16, M=300): 113 ms steady -> 113k steps/s
+Reference numbers on a v5e chip (round 2, corrected harness — each chain
+rep perturbs its inputs so the hoisted encoder pass cannot be elided):
+  batch scaling  (M=100, T=100): N=16 -> 150k, N=64 -> 241k, N=128 -> 230k,
+                                 N=256 -> 280k filter-steps/s/chip
+  particle scaling (N=16, T=100, chained): M=100 -> 146k steps/s
+                                 (14.6M particle-updates/s), M=300 -> 127k
+                                 (38.2M), M=1000 -> 69k (68.5M)
+  eval scale (T=800, N=16, M=300): 131k steps/s steady
 """
 
 import dataclasses
@@ -33,8 +34,13 @@ def make_runner(defn):
     def run_chained(params, belief, obs, ctrl, key, reps):
         def body(carry, i):
             b, acc = carry
+            # i*1e-12: numerical no-op that keeps inputs loop-variant so the
+            # batched encoder pass cannot be hoisted out of the chain (else
+            # steps/s reads ~2-4x above fresh-data throughput; see bench.py).
+            eps = i.astype(jnp.float32) * 1e-12
+            obs_i = jax.tree_util.tree_map(lambda v: v + eps, obs)
             nb, est = defn.forward_loop(
-                params, b, obs, ctrl, jax.random.fold_in(key, i),
+                params, b, obs_i, ctrl + eps, jax.random.fold_in(key, i),
                 train=False, enabled=(True, True),
             )
             return (nb, acc + est.sum()), None

@@ -183,8 +183,15 @@ def _device_throughput(observations, controls, states, chain: int = 4) -> float:
         def chained(params, belief, obs, ctrl, key, reps: int):
             def body(carry, i):
                 b, acc = carry
+                # Per-rep i*1e-12 perturbation: numerically a no-op (below
+                # fp32 eps for normalized data) but keeps the inputs
+                # loop-variant so XLA cannot hoist the batched encoder pass
+                # out of the chain — otherwise the reported steps/s would be
+                # ~2-4x above true fresh-data throughput (see bench.py).
+                eps = i.astype(jnp.float32) * 1e-12
+                obs_i = jax.tree_util.tree_map(lambda v: v + eps, obs)
                 nb, est = defn.forward_loop(
-                    params, b, obs, ctrl, jax.random.fold_in(key, i),
+                    params, b, obs_i, ctrl + eps, jax.random.fold_in(key, i),
                     train=False, enabled=enabled,
                 )
                 return (nb, acc + est.sum()), None
