@@ -153,6 +153,13 @@ class StatefulFilter:
             from ..utils.precision import with_compute_dtype
 
             definition = with_compute_dtype(definition, jnp.bfloat16)
+        # MMF_TPU_FOLD_ENC=1: fold the linear conv3->[pool]->dense image
+        # encoder tail into one matmul (exact same linear map,
+        # fp-reassociated; ~13% off the encoder pass — models/encoders.py).
+        if os.environ.get("MMF_TPU_FOLD_ENC", "0") == "1":
+            from ..utils.precision import with_fold_tail
+
+            definition = with_fold_tail(definition, True)
         self.definition = definition
         # jit the init: eager flax init dispatches hundreds of small ops,
         # which is pathological over a remote-TPU tunnel.

@@ -57,6 +57,7 @@ class _ObservationEncoders(nn.Module):
     modalities: Tuple[str, ...]
     spanning_avg_pool: bool = False
     dtype: Any = None  # compute dtype (params stay fp32)
+    fold_tail: bool = False  # fuse the linear conv3->dense tail (exact)
 
     @nn.compact
     def __call__(self, observations) -> jnp.ndarray:
@@ -68,6 +69,7 @@ class _ObservationEncoders(nn.Module):
                     self.units,
                     spanning_avg_pool=self.spanning_avg_pool,
                     dtype=self.dtype,
+                    fold_tail=self.fold_tail,
                     name="observation_image_layers",
                 )(observations["image"])
             )
@@ -144,6 +146,7 @@ class LogLikelihoodNet(nn.Module):
     units: int = 64
     spanning_avg_pool: bool = False
     dtype: Any = None  # compute dtype for the obs encoders (params stay fp32)
+    fold_tail: bool = False
 
     def setup(self):
         self.obs_encoders = _ObservationEncoders(
@@ -151,6 +154,7 @@ class LogLikelihoodNet(nn.Module):
             _check_modalities(self.modalities),
             self.spanning_avg_pool,
             dtype=self.dtype,
+            fold_tail=self.fold_tail,
             name="obs_encoders",
         )
         self.state_layers = MLPEncoder(self.units, name="state_layers")
@@ -198,6 +202,7 @@ class VirtualSensorNet(nn.Module):
     spanning_avg_pool: bool = False
     noise_R_tril_diag: Optional[Tuple[float, ...]] = None
     dtype: Any = None
+    fold_tail: bool = False
 
     @nn.compact
     def __call__(self, observations):
@@ -206,6 +211,7 @@ class VirtualSensorNet(nn.Module):
             _check_modalities(self.modalities),
             self.spanning_avg_pool,
             dtype=self.dtype,
+            fold_tail=self.fold_tail,
             name="obs_encoders",
         )(observations)
         n = obs_features.shape[0]
@@ -262,12 +268,14 @@ class KFWeightNet(nn.Module):
     weighting_type: str = "sigmoid"
     dtype: Any = None
     reference_reshape: bool = False
+    fold_tail: bool = False
 
     @nn.compact
     def __call__(self, observations):
         assert self.weighting_type in ("sigmoid", "softmax", "absolute")
         obs_features = _ObservationEncoders(
-            self.units, MODALITY_ORDER, False, dtype=self.dtype, name="obs_encoders"
+            self.units, MODALITY_ORDER, False, dtype=self.dtype,
+            fold_tail=self.fold_tail, name="obs_encoders"
         )(observations)
         n = obs_features.shape[0]
 
@@ -310,11 +318,13 @@ class PFWeightNet(nn.Module):
     units: int = 64
     num_fusion_resblocks: int = 3
     dtype: Any = None
+    fold_tail: bool = False
 
     @nn.compact
     def __call__(self, observations):
         obs_features = _ObservationEncoders(
-            self.units, MODALITY_ORDER, False, dtype=self.dtype, name="obs_encoders"
+            self.units, MODALITY_ORDER, False, dtype=self.dtype,
+            fold_tail=self.fold_tail, name="obs_encoders"
         )(observations)
 
         x = nn.Dense(self.units, name="fusion_dense_in")(obs_features)
@@ -339,10 +349,12 @@ class LSTMFilterNet(nn.Module):
     lstm_hidden_dim: int = 512
     lstm_num_layers: int = 2
     spanning_avg_pool: bool = False
+    fold_tail: bool = False
 
     def setup(self):
         self.obs_encoders = _ObservationEncoders(
-            self.units, MODALITY_ORDER, self.spanning_avg_pool, name="obs_encoders"
+            self.units, MODALITY_ORDER, self.spanning_avg_pool,
+            fold_tail=self.fold_tail, name="obs_encoders"
         )
         self.control_layers = MLPEncoder(self.units, name="control_layers")
         self.fusion_dense = nn.Dense(self.units, name="fusion_dense")

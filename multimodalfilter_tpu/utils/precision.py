@@ -12,24 +12,37 @@ from __future__ import annotations
 import dataclasses
 
 
-def with_compute_dtype(obj, dtype):
-    """Recursively rebuild a (frozen-dataclass) def tree, setting the `dtype`
-    field on every dataclass that has one."""
+def _with_field(obj, field_name: str, field_value):
+    """Recursively rebuild a (frozen-dataclass) def tree, setting
+    ``field_name`` on every dataclass that has that field."""
     if isinstance(obj, tuple):
-        return tuple(with_compute_dtype(x, dtype) for x in obj)
+        return tuple(_with_field(x, field_name, field_value) for x in obj)
     if not dataclasses.is_dataclass(obj) or isinstance(obj, type):
         return obj
     changes = {}
     for field in dataclasses.fields(obj):
-        if field.name == "dtype":
-            changes["dtype"] = dtype
+        if field.name == field_name:
+            changes[field_name] = field_value
             continue
         if field.name in ("parent", "name"):  # flax module bookkeeping
             continue
         value = getattr(obj, field.name)
-        new_value = with_compute_dtype(value, dtype)
+        new_value = _with_field(value, field_name, field_value)
         if new_value is not value:
             changes[field.name] = new_value
     if not changes:
         return obj
     return dataclasses.replace(obj, **changes)
+
+
+def with_compute_dtype(obj, dtype):
+    """Set the `dtype` (compute precision) field throughout a def tree."""
+    return _with_field(obj, "dtype", dtype)
+
+
+def with_fold_tail(obj, fold: bool = True):
+    """Set the `fold_tail` field throughout a def tree: fuses the linear
+    conv3->[pool]->dense image-encoder tail into one matmul (exact same
+    linear map, fp-reassociated — see models/encoders.py). Parameter
+    structure is unchanged, so checkpoints are interchangeable."""
+    return _with_field(obj, "fold_tail", fold)
