@@ -1,2 +1,3 @@
 from .mesh import create_mesh, data_sharding  # noqa: F401
 from .data_parallel import make_sharded_train_step, shard_batch  # noqa: F401
+from .temporal_pipeline import make_pipelined_pf_loop  # noqa: F401

@@ -1,0 +1,178 @@
+"""Temporal pipeline parallelism (parallel/temporal_pipeline.py).
+
+The time axis of the PF loop sharded over pipeline stages must reproduce
+the single-device forward_loop: with micro=1 and the microbatch key-fold
+disabled the PARTICLE path is BITWISE the plain loop (estimates reassociate
+~1e-7 under the shard_map context); with microbatching it matches the plain
+loop run per-slice with the documented key fold; and it
+must track the linear-Gaussian closed-form KF oracle end-to-end.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalfilter_tpu.parallel.mesh import create_mesh
+from multimodalfilter_tpu.parallel.temporal_pipeline import (
+    make_pipelined_pf_loop,
+)
+
+import sys
+
+sys.path.insert(0, "tests")
+from test_filter_core import (  # noqa: E402
+    OBS_SPEC,
+    STATE_DIM,
+    CONTROL_DIM,
+    _GaussianMeasurementNet,
+    _LinearDynamicsNet,
+    _closed_form_kf,
+    _simulate,
+)
+from multimodalfilter_tpu.filtering import (  # noqa: E402
+    DynamicsDef,
+    MeasurementDef,
+    ParticleFilterDef,
+)
+
+
+def _make_pf(num_particles=64):
+    return ParticleFilterDef(
+        dynamics_model=DynamicsDef(
+            _LinearDynamicsNet(), state_dim=STATE_DIM, control_dim=CONTROL_DIM
+        ),
+        measurement_model=MeasurementDef(
+            _GaussianMeasurementNet(), state_dim=STATE_DIM, obs_spec=OBS_SPEC
+        ),
+        state_dim=STATE_DIM,
+        control_dim=CONTROL_DIM,
+        obs_spec=OBS_SPEC,
+        num_particles_eval=num_particles,
+    )
+
+
+def _setup(key, timesteps, batch):
+    states, obs, controls = _simulate(key, timesteps=timesteps, batch=batch)
+    pf = _make_pf()
+    params = pf.init(key)
+    mean0 = states[0]
+    cov0 = jnp.broadcast_to(
+        0.1 * jnp.eye(STATE_DIM), (batch, STATE_DIM, STATE_DIM)
+    )
+    belief = pf.initialize_beliefs(params, key, mean0, cov0, train=False)
+    return pf, params, belief, states, obs, controls
+
+
+def test_pipeline_bitwise_micro1():
+    """micro=1, key fold off: the pipeline is a sequential chunk relay and
+    must be BITWISE the single-device forward_loop."""
+    key = jax.random.PRNGKey(0)
+    pf, params, belief, _, obs, controls = _setup(key, timesteps=24, batch=4)
+
+    mesh = create_mesh(4, axis_names=("pipe",))
+    loop = make_pipelined_pf_loop(
+        pf, mesh, num_microbatches=1, fold_microbatch_key=False
+    )
+    final_p, est_p = loop(params, belief, {"y": obs}, controls, key)
+
+    final_s, est_s = pf.forward_loop(
+        params, belief, {"y": obs}, controls, key, train=False
+    )
+    # Particles/weights are bitwise; the estimate einsum reassociates under
+    # the shard_map program context (~1e-7), so allclose there.
+    np.testing.assert_allclose(
+        np.asarray(est_p), np.asarray(est_s), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(final_p.particles), np.asarray(final_s.particles)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(final_p.log_weights), np.asarray(final_s.log_weights)
+    )
+
+
+def test_pipeline_bitwise_microbatched():
+    """micro=2 over 4 stages: equals the plain loop run per microbatch
+    slice with the documented per-timestep key fold."""
+    key = jax.random.PRNGKey(1)
+    batch, micro = 6, 2
+    pf, params, belief, _, obs, controls = _setup(key, timesteps=16, batch=batch)
+
+    mesh = create_mesh(4, axis_names=("pipe",))
+    loop = make_pipelined_pf_loop(pf, mesh, num_microbatches=micro)
+    final_p, est_p = loop(params, belief, {"y": obs}, controls, key)
+
+    # Reference: per-slice scan with keys folded by microbatch index.
+    nm = batch // micro
+    t = controls.shape[0]
+    keys = jax.random.split(key, t)
+    for mc in range(micro):
+        sl = slice(mc * nm, (mc + 1) * nm)
+        bel_mc = type(belief)(belief.particles[sl], belief.log_weights[sl])
+        keys_mc = jax.vmap(lambda k: jax.random.fold_in(k, mc))(keys)
+
+        # Re-run the plain scan with explicit keys (forward_loop's body).
+        feats = pf.measurement_model.encode_observations(
+            params["measurement_model"],
+            jax.tree_util.tree_map(
+                lambda x: x[:, sl].reshape((t * nm,) + x.shape[2:]),
+                {"y": obs},
+            ),
+        )
+        feats_seq = jax.tree_util.tree_map(
+            lambda x: x.reshape((t, nm) + x.shape[1:]), feats
+        )
+
+        def scan_step(carry, inputs):
+            f_t, c_t, k_t = inputs
+
+            def llf(parts):
+                return pf.measurement_model.log_likelihoods_from_features(
+                    params["measurement_model"], parts, f_t
+                )
+
+            return pf._step_core(params, carry, llf, c_t, k_t, train=False)
+
+        final_mc, est_mc = jax.lax.scan(
+            scan_step, bel_mc, (feats_seq, controls[:, sl], keys_mc)
+        )
+        np.testing.assert_allclose(
+            np.asarray(est_p[:, sl]), np.asarray(est_mc), atol=1e-5, rtol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(final_p.particles[sl]), np.asarray(final_mc.particles)
+        )
+
+
+def test_pipeline_tracks_kf_oracle_8stages():
+    """Full 8-stage pipeline with micro=4 tracks the closed-form KF."""
+    key = jax.random.PRNGKey(2)
+    pf, params, belief, states, obs, controls = _setup(
+        key, timesteps=32, batch=4
+    )
+    mesh = create_mesh(8, axis_names=("pipe",))
+    loop = make_pipelined_pf_loop(pf, mesh, num_microbatches=4)
+    final_p, est = loop(params, belief, {"y": obs}, controls, key)
+
+    assert est.shape == (32, 4, STATE_DIM)
+    mean0 = states[0]
+    cov0 = jnp.broadcast_to(0.1 * jnp.eye(STATE_DIM), (4, STATE_DIM, STATE_DIM))
+    expected = _closed_form_kf(mean0, cov0, obs, controls)
+    err = np.abs(np.asarray(est[5:]) - expected[5:])
+    assert err.mean() < 0.12, err.mean()
+    # Final belief replicated + weights normalized per trajectory.
+    lse = jax.scipy.special.logsumexp(final_p.log_weights, axis=1)
+    np.testing.assert_allclose(np.asarray(lse), 0.0, atol=1e-4)
+
+
+def test_pipeline_rejects_indivisible_t():
+    key = jax.random.PRNGKey(3)
+    pf, params, belief, _, obs, controls = _setup(key, timesteps=30, batch=4)
+    mesh = create_mesh(4, axis_names=("pipe",))
+    loop = make_pipelined_pf_loop(pf, mesh, num_microbatches=2)
+    try:
+        loop(params, belief, {"y": obs}, controls, key)
+    except AssertionError as e:
+        assert "not divisible" in str(e)
+    else:
+        raise AssertionError("expected divisibility assertion")
