@@ -1,3 +1,6 @@
 from .mesh import create_mesh, data_sharding  # noqa: F401
 from .data_parallel import make_sharded_train_step, shard_batch  # noqa: F401
-from .temporal_pipeline import make_pipelined_pf_loop  # noqa: F401
+from .temporal_pipeline import (  # noqa: F401
+    make_pipelined_filter_loop,
+    make_pipelined_pf_loop,
+)

@@ -9,23 +9,27 @@ ICI via `ppermute`, GPipe-style, with the trajectory batch N split into
 `num_microbatches` slices so all stages stay busy after the (P-1)-step
 fill:
 
-  - each device scan-hoists its OWN obs chunk's encoder pass (the same
-    (T_loc*N)-batched big-matmul trick as the single-device forward_loop),
-    so encoder FLOPs split P ways;
-  - the per-step ICI payload is one microbatch belief
-    (N/micro x M x state_dim particles + log-weights) — a few KB at filter
-    state dims, far below ICI bandwidth;
+  - the per-step ICI payload is one microbatch belief (particles/means +
+    weights/covs for N/micro trajectories) — a few KB at filter state
+    dims, far below ICI bandwidth;
   - pipeline efficiency is micro/(P + micro - 1): at T=800 over 8 stages
-    with micro=8 that is 8/15 ~ 53% of linear scaling, rising with micro.
+    with micro=8 that is 8/15 ~ 53% of linear scaling, rising with micro;
+  - `make_pipelined_pf_loop` additionally scan-hoists each stage's OWN obs
+    chunk through the encoders (the same (T_loc*N)-batched big-matmul
+    trick as the single-device forward_loop), so the dominant encoder
+    FLOPs split P ways; `make_pipelined_filter_loop` is the generic
+    variant for ANY FilterDef (KF fusion, unimodal KF, EKF, LSTM — every
+    belief in this framework carries batch on axis 0).
 
 PRNG semantics: the per-timestep key stream is `jax.random.split(key, T)`
 sharded over the chunks — the SAME keys the single-device `forward_loop`
 consumes — then folded with the microbatch index so concurrent microbatches
 draw decorrelated noise (the same convention as particle_sharding.py's
 per-data-row fold). Consequence (pinned by tests/test_temporal_pipeline.py):
-the pipelined loop is BITWISE-identical to running the plain forward_loop
-on each microbatch slice with that fold applied, and with micro=1 + the
-fold disabled it is bitwise-identical to the plain full-batch loop.
+the pipelined loop matches running the plain forward_loop on each
+microbatch slice with that fold applied (bitwise on the particle path),
+and with micro=1 + the fold disabled it is bitwise the plain full-batch
+loop.
 
 This is a new TPU enablement like particle sharding (SURVEY §2.5: the
 reference has no distributed layer); it completes the parallelism family:
@@ -42,20 +46,108 @@ from jax.sharding import PartitionSpec
 from ..types import ParticleBelief
 
 
+def _tree_where(pred, a, b):
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def _tree_slice_batch(tree, start, size):
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.dynamic_slice_in_dim(x, start, size, axis=0), tree
+    )
+
+
+def _tree_update_batch(tree, update, start):
+    return jax.tree_util.tree_map(
+        lambda x, u: jax.lax.dynamic_update_slice_in_dim(x, u, start, axis=0),
+        tree, update,
+    )
+
+
+def _run_pipeline(
+    axis_name, num_stages, micro, nm, belief0, run_chunk, est_template
+):
+    """The GPipe schedule, shared by the PF-specialized and generic loops.
+
+    belief0: full-batch initial belief (leaves batch-major, axis 0);
+    run_chunk(belief_mb, mc) -> (belief_out, est (t_loc, nm, D)).
+    Returns (final_belief replicated across the axis, est_buf local chunk).
+    """
+    stage = jax.lax.axis_index(axis_name)
+    zeros_mb = jax.tree_util.tree_map(
+        lambda x: jnp.zeros((nm,) + x.shape[1:], x.dtype), belief0
+    )
+
+    def body(s, carry):
+        out_belief, est_buf, final_belief = carry
+        # Receive the belief the previous stage produced last step.
+        perm = [(i, i + 1) for i in range(num_stages - 1)]
+        received = jax.tree_util.tree_map(
+            lambda x: jax.lax.ppermute(x, axis_name, perm), out_belief
+        )
+
+        mc = s - stage
+        valid = jnp.logical_and(mc >= 0, mc < micro)
+        mc_c = jnp.clip(mc, 0, micro - 1)
+
+        # Stage 0 sources microbatch mc from the initial belief.
+        init_mb = _tree_slice_batch(belief0, mc_c * nm, nm)
+        belief_in = _tree_where(stage == 0, init_mb, received)
+
+        belief_out, est = run_chunk(belief_in, mc_c)
+
+        est_buf = jnp.where(
+            valid,
+            jax.lax.dynamic_update_slice_in_dim(est_buf, est, mc_c * nm, axis=1),
+            est_buf,
+        )
+        # The last stage drains completed trajectories.
+        drain = jnp.logical_and(valid, stage == num_stages - 1)
+        final_belief = _tree_where(
+            drain, _tree_update_batch(final_belief, belief_out, mc_c * nm),
+            final_belief,
+        )
+        return (belief_out, est_buf, final_belief)
+
+    carry0 = (
+        zeros_mb,
+        jnp.zeros_like(est_template),
+        jax.tree_util.tree_map(jnp.zeros_like, belief0),
+    )
+    _, est_buf, final_belief = jax.lax.fori_loop(
+        0, num_stages + micro - 1, body, carry0
+    )
+
+    # Replicate the drained final belief (held by the last stage only).
+    mask = stage == num_stages - 1
+    final_belief = jax.tree_util.tree_map(
+        lambda x: jax.lax.psum(jnp.where(mask, x, jnp.zeros_like(x)), axis_name),
+        final_belief,
+    )
+    return final_belief, est_buf
+
+
+def _fold_keys(keys_chunk, mc, fold: bool):
+    if not fold:
+        return keys_chunk
+    return jax.vmap(lambda k: jax.random.fold_in(k, mc))(keys_chunk)
+
+
 def make_pipelined_pf_loop(
     defn, mesh, axis_name: str = "pipe", num_microbatches: int = 2,
     train: bool = False, enabled=None, fold_microbatch_key: bool = True,
 ):
     """Build a time-pipelined forward_loop for a ParticleFilterDef.
 
+    Scan-hoists each stage's obs chunk through the encoders before the
+    schedule (filtering/pf.py:164-207's trick), so encoder FLOPs split
+    across stages. For non-PF defs use make_pipelined_filter_loop.
+
     Args:
-      defn: ParticleFilterDef (its dynamics/measurement defs are reused;
-        the per-timestep body is the same `_step_core` the single-device
-        loop runs — filtering/pf.py:73-142).
+      defn: ParticleFilterDef (its per-timestep body is the same
+        `_step_core` the single-device loop runs — filtering/pf.py:73-142).
       mesh: Mesh containing `axis_name`; T must divide by its size.
       num_microbatches: slices of the trajectory batch N (N divisible by
-        it). micro=1 degenerates to a sequential chunk relay; larger micro
-        fills the pipeline.
+        it). micro=1 degenerates to a sequential chunk relay.
       train/enabled: the same static knobs as FilterDef.forward_loop.
       fold_microbatch_key: fold each timestep key with the microbatch index
         so concurrent microbatches draw independent noise. Disable only for
@@ -69,9 +161,6 @@ def make_pipelined_pf_loop(
     micro = num_microbatches
 
     def per_device(params, particles0, log_w0, obs_chunk, ctrl_chunk, keys_chunk):
-        """obs/ctrl/keys are sharded over T (this device sees T/P steps);
-        the initial belief is replicated (only stage 0 reads it)."""
-        stage = jax.lax.axis_index(axis_name)
         n, m_particles, d_state = particles0.shape
         assert n % micro == 0, (
             f"batch {n} not divisible by num_microbatches {micro}"
@@ -92,20 +181,13 @@ def make_pipelined_pf_loop(
             lambda x: x.reshape((t_loc, n) + x.shape[1:]), features
         )
 
-        def run_chunk(bel_p, bel_w, mc):
-            """This device's t_loc timesteps for microbatch mc — the same
-            scan body as ParticleFilterDef.forward_loop."""
+        def run_chunk(belief_in, mc):
             feats_mb = jax.tree_util.tree_map(
                 lambda x: jax.lax.dynamic_slice_in_dim(x, mc * nm, nm, axis=1),
                 features_seq,
             )
             ctrl_mb = jax.lax.dynamic_slice_in_dim(ctrl_chunk, mc * nm, nm, axis=1)
-            if fold_microbatch_key:
-                keys_mb = jax.vmap(lambda k: jax.random.fold_in(k, mc))(
-                    keys_chunk
-                )
-            else:
-                keys_mb = keys_chunk
+            keys_mb = _fold_keys(keys_chunk, mc, fold_microbatch_key)
 
             def scan_step(carry, inputs):
                 features_t, ctrl_t, key_t = inputs
@@ -121,72 +203,15 @@ def make_pipelined_pf_loop(
                 )
 
             return jax.lax.scan(
-                scan_step, ParticleBelief(bel_p, bel_w),
-                (feats_mb, ctrl_mb, keys_mb),
+                scan_step, belief_in, (feats_mb, ctrl_mb, keys_mb)
             )
 
-        def body(s, carry):
-            out_p, out_w, est_buf, final_p, final_w = carry
-            # Receive the belief the previous stage produced last step.
-            perm = [(i, i + 1) for i in range(num_stages - 1)]
-            recv_p = jax.lax.ppermute(out_p, axis_name, perm)
-            recv_w = jax.lax.ppermute(out_w, axis_name, perm)
-
-            mc = s - stage
-            valid = jnp.logical_and(mc >= 0, mc < micro)
-            mc_c = jnp.clip(mc, 0, micro - 1)
-
-            # Stage 0 sources microbatch mc from the initial belief.
-            init_p = jax.lax.dynamic_slice_in_dim(particles0, mc_c * nm, nm, axis=0)
-            init_w = jax.lax.dynamic_slice_in_dim(log_w0, mc_c * nm, nm, axis=0)
-            is_first = stage == 0
-            bel_p = jnp.where(is_first, init_p, recv_p)
-            bel_w = jnp.where(is_first, init_w, recv_w)
-
-            belief_out, est = run_chunk(bel_p, bel_w, mc_c)
-
-            est_buf = jnp.where(
-                valid,
-                jax.lax.dynamic_update_slice_in_dim(
-                    est_buf, est, mc_c * nm, axis=1
-                ),
-                est_buf,
-            )
-            # The last stage drains completed trajectories.
-            drain = jnp.logical_and(valid, stage == num_stages - 1)
-            final_p = jnp.where(
-                drain,
-                jax.lax.dynamic_update_slice_in_dim(
-                    final_p, belief_out.particles, mc_c * nm, axis=0
-                ),
-                final_p,
-            )
-            final_w = jnp.where(
-                drain,
-                jax.lax.dynamic_update_slice_in_dim(
-                    final_w, belief_out.log_weights, mc_c * nm, axis=0
-                ),
-                final_w,
-            )
-            return (belief_out.particles, belief_out.log_weights,
-                    est_buf, final_p, final_w)
-
-        carry0 = (
-            jnp.zeros((nm, m_particles, d_state), particles0.dtype),
-            jnp.zeros((nm, m_particles), log_w0.dtype),
-            jnp.zeros((t_loc, n, d_state), particles0.dtype),
-            jnp.zeros_like(particles0),
-            jnp.zeros_like(log_w0),
+        belief0 = ParticleBelief(particles0, log_w0)
+        est_template = jnp.zeros((t_loc, n, d_state), particles0.dtype)
+        final_belief, est_buf = _run_pipeline(
+            axis_name, num_stages, micro, nm, belief0, run_chunk, est_template
         )
-        _, _, est_buf, final_p, final_w = jax.lax.fori_loop(
-            0, num_stages + micro - 1, body, carry0
-        )
-
-        # Replicate the drained final belief (held by the last stage only).
-        mask = (stage == num_stages - 1).astype(particles0.dtype)
-        final_p = jax.lax.psum(final_p * mask, axis_name)
-        final_w = jax.lax.psum(final_w * mask, axis_name)
-        return est_buf, final_p, final_w
+        return est_buf, final_belief.particles, final_belief.log_weights
 
     replicated = PartitionSpec()
     time_spec = PartitionSpec(axis_name)
@@ -213,5 +238,81 @@ def make_pipelined_pf_loop(
             keys,
         )
         return type(belief)(final_p, final_w), est
+
+    return loop
+
+
+def make_pipelined_filter_loop(
+    defn, mesh, axis_name: str = "pipe", num_microbatches: int = 2,
+    train: bool = False, enabled=None, fold_microbatch_key: bool = True,
+):
+    """Generic time-pipelined forward_loop for ANY FilterDef.
+
+    Works with every belief in this framework (GaussianBelief, per-child
+    tuples, ParticleBelief, LSTM carries) — all are batch-major pytrees.
+    Runs `defn.step` per timestep inside each stage's chunk; unlike the PF
+    variant it does not hoist encoders out of the chunk scan (generic
+    `step` takes raw observations), so for PFs prefer
+    make_pipelined_pf_loop. The `enabled` knob is forwarded to fusion defs.
+
+    Returns loop(params, belief, obs_seq, ctrl_seq, key) -> (final_belief,
+    estimates (T, N, D)).
+    """
+    num_stages = mesh.shape[axis_name]
+    micro = num_microbatches
+
+    def per_device(params, belief0, obs_chunk, ctrl_chunk, keys_chunk):
+        n = ctrl_chunk.shape[1]
+        assert n % micro == 0, (
+            f"batch {n} not divisible by num_microbatches {micro}"
+        )
+        nm = n // micro
+        t_loc = ctrl_chunk.shape[0]
+
+        def run_chunk(belief_in, mc):
+            obs_mb = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_slice_in_dim(x, mc * nm, nm, axis=1),
+                obs_chunk,
+            )
+            ctrl_mb = jax.lax.dynamic_slice_in_dim(ctrl_chunk, mc * nm, nm, axis=1)
+            keys_mb = _fold_keys(keys_chunk, mc, fold_microbatch_key)
+
+            def scan_step(carry, inputs):
+                obs_t, ctrl_t, key_t = inputs
+                return defn.step(
+                    params, carry, obs_t, ctrl_t, key_t, train=train,
+                    enabled=enabled,
+                )
+
+            return jax.lax.scan(scan_step, belief_in, (obs_mb, ctrl_mb, keys_mb))
+
+        est_template = jnp.zeros(
+            (t_loc, n, defn.state_dim), ctrl_chunk.dtype
+        )
+        final_belief, est_buf = _run_pipeline(
+            axis_name, num_stages, micro, nm, belief0, run_chunk, est_template
+        )
+        return est_buf, final_belief
+
+    replicated = PartitionSpec()
+    time_spec = PartitionSpec(axis_name)
+
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(replicated, replicated, time_spec, time_spec, time_spec),
+        out_specs=(time_spec, replicated),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def loop(params, belief, obs_seq, ctrl_seq, key):
+        t = ctrl_seq.shape[0]
+        assert t % num_stages == 0, (
+            f"T={t} not divisible by pipeline stages {num_stages}"
+        )
+        keys = jax.random.split(key, t)
+        est, final_belief = sharded(params, belief, obs_seq, ctrl_seq, keys)
+        return final_belief, est
 
     return loop

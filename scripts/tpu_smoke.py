@@ -212,6 +212,43 @@ def smoke_bf16():
     assert np.all(np.isfinite(np.asarray(est))), "bf16 estimates not finite"
 
 
+@check("folded encoder tail matches unfolded on hardware")
+def smoke_fold_enc():
+    import jax
+    import jax.numpy as jnp
+
+    from crossmodal.door_models import DoorCrossmodalParticleFilter
+    from multimodalfilter_tpu.utils.precision import with_fold_tail
+
+    model = DoorCrossmodalParticleFilter()
+    defn0 = model.definition
+    defn1 = with_fold_tail(defn0, True)
+    n, t = 4, 8
+    obs, controls, _ = _flagship_batch(n, t)
+    key = jax.random.PRNGKey(0)
+    mean = jnp.zeros((n, 3))
+    cov = jnp.broadcast_to(jnp.eye(3) * 0.1, (n, 3, 3))
+    belief = defn0.initialize_beliefs(model.params, key, mean, cov, train=False)
+
+    def run(defn):
+        @jax.jit
+        def f(params, belief, obs, controls, key):
+            _, est = defn.forward_loop(
+                params, belief, obs, controls, key, train=False,
+                enabled=(True, True),
+            )
+            return est
+
+        return f(model.params, belief, obs, controls, key)
+
+    est0 = np.asarray(run(defn0))
+    est1 = np.asarray(run(defn1))
+    # Exact linear-map fold; only fp reassociation (amplified through the
+    # PF resampling chain) separates the two estimates.
+    err = np.abs(est0 - est1).max()
+    assert err < 5e-3, f"fold-vs-unfold estimate drift {err} on hardware"
+
+
 @check("e2e jitted train step finite")
 def smoke_train_step():
     import jax
@@ -326,6 +363,7 @@ def main():
     smoke_pallas_chunked()
     smoke_pallas_train()
     smoke_bf16()
+    smoke_fold_enc()
     smoke_train_step()
     smoke_timing()
 

@@ -165,6 +165,66 @@ def test_pipeline_tracks_kf_oracle_8stages():
     np.testing.assert_allclose(np.asarray(lse), 0.0, atol=1e-4)
 
 
+def test_generic_pipeline_ekf_matches_plain_loop():
+    """The generic (any-FilterDef) pipeline on a deterministic EKF must
+    reproduce the plain forward_loop (per microbatch slice; the EKF ignores
+    keys so the microbatch fold is inert)."""
+    from test_filter_core import _make_ekf
+    from multimodalfilter_tpu.parallel.temporal_pipeline import (
+        make_pipelined_filter_loop,
+    )
+
+    key = jax.random.PRNGKey(4)
+    batch, micro, t = 4, 2, 16
+    states, obs, controls = _simulate(key, timesteps=t, batch=batch)
+    ekf = _make_ekf()
+    params = ekf.init(key)
+    mean0 = states[0]
+    cov0 = jnp.broadcast_to(
+        0.1 * jnp.eye(STATE_DIM), (batch, STATE_DIM, STATE_DIM)
+    )
+    belief = ekf.initialize_beliefs(params, key, mean0, cov0, train=False)
+
+    mesh = create_mesh(4, axis_names=("pipe",))
+    loop = make_pipelined_filter_loop(ekf, mesh, num_microbatches=micro)
+    final_p, est_p = loop(params, belief, {"y": obs}, controls, key)
+
+    final_s, est_s = ekf.forward_loop(
+        params, belief, {"y": obs}, controls, key, train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(est_p), np.asarray(est_s), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(final_p.mean), np.asarray(final_s.mean), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(final_p.cov), np.asarray(final_s.cov), atol=1e-5
+    )
+
+
+def test_generic_pipeline_pf_matches_specialized():
+    """The generic loop and the encoder-hoisting PF loop must agree
+    (hoisting is exact; both use the same keys and fold)."""
+    from multimodalfilter_tpu.parallel.temporal_pipeline import (
+        make_pipelined_filter_loop,
+    )
+
+    key = jax.random.PRNGKey(5)
+    pf, params, belief, _, obs, controls = _setup(key, timesteps=16, batch=4)
+    mesh = create_mesh(4, axis_names=("pipe",))
+    loop_g = make_pipelined_filter_loop(pf, mesh, num_microbatches=2)
+    loop_s = make_pipelined_pf_loop(pf, mesh, num_microbatches=2)
+    final_g, est_g = loop_g(params, belief, {"y": obs}, controls, key)
+    final_s, est_s = loop_s(params, belief, {"y": obs}, controls, key)
+    np.testing.assert_allclose(
+        np.asarray(est_g), np.asarray(est_s), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(final_g.particles), np.asarray(final_s.particles)
+    )
+
+
 def test_pipeline_rejects_indivisible_t():
     key = jax.random.PRNGKey(3)
     pf, params, belief, _, obs, controls = _setup(key, timesteps=30, batch=4)
