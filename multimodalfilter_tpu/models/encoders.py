@@ -97,9 +97,13 @@ def _fold_tail_weights(k3, b3, kd, bd, spanning_avg_pool: bool):
         kd_eff = kd.reshape(32, 32, k3.shape[-1], u)
     kd_img = kd_eff.transpose(3, 0, 1, 2)  # (u, 32, 32, c3)
     k3_flip = k3[::-1, ::-1].transpose(0, 1, 3, 2)  # (3, 3, c3, 16)
+    # HIGHEST precision: this one-time construction must not add bf16-pass
+    # error of its own (on TPU, default-precision convs run as bf16 MXU
+    # passes; measured 9e-5 abs error on the folded weight without this).
     w_img = jax.lax.conv_general_dilated(
         kd_img, k3_flip, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
     )  # (u, 32, 32, 16)
     w_flat = w_img.transpose(1, 2, 3, 0).reshape(32 * 32 * 16, u)
     b_eff = bd + jnp.einsum("c,hwcu->u", b3, kd_eff)

