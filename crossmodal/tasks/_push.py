@@ -231,3 +231,25 @@ def _load_trajectories(
             )
             raw_list[traj_index] = None
     return trajectories
+
+
+def _print_normalization(trajectories) -> None:
+    """Regenerate the normalization constants from loaded trajectories
+    (reference _push.py:419-445; the door analog lives in _door.py). Run on
+    an UN-normalized load to produce the mean/std pairs hardcoded in
+    _load_trajectories."""
+    states = np.concatenate([t.states for t in trajectories], axis=0)
+    controls = np.concatenate([t.controls for t in trajectories], axis=0)
+    obs_keys = trajectories[0].observations.keys()
+    observations = {
+        k: np.concatenate([t.observations[k] for t in trajectories], axis=0)
+        for k in obs_keys
+    }
+    for name, value in {
+        "gripper_pos": observations["gripper_pos"],
+        "gripper_sensors": observations["gripper_sensors"],
+        "states": states,
+        "controls": controls,
+    }.items():
+        print(f"{name} mean: {np.mean(value, axis=0)!r}")
+        print(f"{name} std:  {np.std(value, axis=0)!r}")
