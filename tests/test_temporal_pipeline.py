@@ -225,6 +225,86 @@ def test_generic_pipeline_pf_matches_specialized():
     )
 
 
+def test_generic_pipeline_lstm_matches_plain_loop():
+    """The generic pipeline also carries the LSTM baseline's (h, c) tuple
+    belief through the stage relay (deterministic net -> tight match)."""
+    from crossmodal.door_models import DoorLSTMFilter
+    from multimodalfilter_tpu.parallel.temporal_pipeline import (
+        make_pipelined_filter_loop,
+    )
+
+    model = DoorLSTMFilter()
+    defn = model.definition
+    key = jax.random.PRNGKey(6)
+    ks = jax.random.split(key, 5)
+    t, n = 8, 4
+    obs = {
+        "image": jax.random.normal(ks[0], (t, n, 32, 32)),
+        "gripper_pos": jax.random.normal(ks[1], (t, n, 3)),
+        "gripper_sensors": jax.random.normal(ks[2], (t, n, 7)),
+    }
+    controls = jax.random.normal(ks[3], (t, n, 7))
+    mean = jnp.zeros((n, 3))
+    cov = jnp.broadcast_to(jnp.eye(3) * 0.1, (n, 3, 3))
+    belief = defn.initialize_beliefs(model.params, ks[4], mean, cov, train=False)
+
+    mesh = create_mesh(4, axis_names=("pipe",))
+    loop = make_pipelined_filter_loop(defn, mesh, num_microbatches=2)
+    final_p, est_p = loop(model.params, belief, obs, controls, key)
+
+    final_s, est_s = defn.forward_loop(
+        model.params, belief, obs, controls, key, train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(est_p), np.asarray(est_s), atol=1e-5, rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(final_p), jax.tree_util.tree_leaves(final_s)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_generic_pipeline_crossmodal_kf_matches_plain_loop():
+    """Fusion defs pipeline too: the crossmodal KF's fused GaussianBelief
+    (the write-back carry) relays through the stages."""
+    from crossmodal.door_models import DoorCrossmodalKalmanFilter
+    from multimodalfilter_tpu.parallel.temporal_pipeline import (
+        make_pipelined_filter_loop,
+    )
+
+    model = DoorCrossmodalKalmanFilter()
+    defn = model.definition
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 5)
+    t, n = 8, 4
+    obs = {
+        "image": jax.random.normal(ks[0], (t, n, 32, 32)),
+        "gripper_pos": jax.random.normal(ks[1], (t, n, 3)),
+        "gripper_sensors": jax.random.normal(ks[2], (t, n, 7)),
+    }
+    controls = jax.random.normal(ks[3], (t, n, 7))
+    mean = jnp.zeros((n, 3))
+    cov = jnp.broadcast_to(jnp.eye(3) * 0.1, (n, 3, 3))
+    belief = defn.initialize_beliefs(model.params, ks[4], mean, cov, train=False)
+
+    mesh = create_mesh(4, axis_names=("pipe",))
+    loop = make_pipelined_filter_loop(
+        defn, mesh, num_microbatches=2, enabled=(True, True)
+    )
+    final_p, est_p = loop(model.params, belief, obs, controls, key)
+
+    final_s, est_s = defn.forward_loop(
+        model.params, belief, obs, controls, key, train=False,
+        enabled=(True, True),
+    )
+    np.testing.assert_allclose(
+        np.asarray(est_p), np.asarray(est_s), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(final_p.mean), np.asarray(final_s.mean), atol=1e-4
+    )
+
+
 def test_pipeline_rejects_indivisible_t():
     key = jax.random.PRNGKey(3)
     pf, params, belief, _, obs, controls = _setup(key, timesteps=30, batch=4)
