@@ -61,7 +61,8 @@ def log(msg):
 # ---------------------------------------------------------------------------
 
 
-def bench_jax(batch: int = BATCH, measure_flops: bool = False, bf16: bool = None):
+def bench_jax(batch: int = BATCH, measure_flops: bool = False, bf16: bool = None,
+              fold: bool = False):
     """Returns (filter_steps_per_sec, flops_per_filter_step | None)."""
     import jax
     import jax.numpy as jnp
@@ -88,6 +89,11 @@ def bench_jax(batch: int = BATCH, measure_flops: bool = False, bf16: bool = None
 
         defn = with_compute_dtype(defn, jnp.bfloat16)
         log("[bench] bf16 encoder compute enabled")
+    if fold:
+        from multimodalfilter_tpu.utils.precision import with_fold_tail
+
+        defn = with_fold_tail(defn, True)
+        log("[bench] folded encoder tail enabled")
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 5)
@@ -492,6 +498,19 @@ def main():
         except Exception as exc:
             log(f"[bench] bf16 serving bench failed: {exc}")
 
+    # Best production stack: bf16 + folded encoder tail (+ Pallas, the
+    # default) — the recommended serving config (docs/PERFORMANCE.md).
+    sat_best_sps = None
+    if (
+        os.environ.get("BENCH_SATURATED", "1") == "1"
+        and os.environ.get("BENCH_BEST_SERVING", "1") == "1"
+        and not over_budget("best serving config")
+    ):
+        try:
+            sat_best_sps, _ = bench_jax(batch=SAT_BATCH, bf16=True, fold=True)
+        except Exception as exc:
+            log(f"[bench] best serving bench failed: {exc}")
+
     train_sps = None
     if not over_budget("train bench"):
         try:
@@ -526,6 +545,9 @@ def main():
                 "saturated_batch": SAT_BATCH if sat_sps else None,
                 "value_saturated_bf16": (
                     round(sat_bf16_sps, 1) if sat_bf16_sps else None
+                ),
+                "value_saturated_best": (
+                    round(sat_best_sps, 1) if sat_best_sps else None
                 ),
                 "mfu": round(mfu, 4) if mfu else None,
                 "train_steps_per_sec": round(train_sps, 1) if train_sps else None,
