@@ -47,16 +47,29 @@ mesh = None
 _eval_batch_cache = {}
 
 
-def configure(*, buddy: Buddy, task, dataset_args: Dict, mesh=None):
+def configure(*, buddy: Buddy, task, dataset_args: Dict, mesh=None,
+              pipeline_mesh=None, pipeline_microbatches: int = 2):
     """`mesh` optionally shards eval trajectory batches data-parallel over a
     jax.sharding.Mesh (the eval batch axis N is the natural DP axis; GSPMD
-    partitions the jitted forward_loop from the input shardings alone)."""
+    partitions the jitted forward_loop from the input shardings alone).
+
+    `pipeline_mesh` instead routes the filter rollout through temporal
+    pipeline parallelism (the TIME axis sharded over the mesh's "pipe"
+    axis, belief relayed stage->stage — parallel/temporal_pipeline.py);
+    T is padded to the stage count internally. Mutually exclusive with
+    `mesh` (batch-DP)."""
     assert issubclass(task, tasks.Task)
+    assert mesh is None or pipeline_mesh is None, (
+        "mesh (batch-DP) and pipeline_mesh (time-pipeline) are exclusive"
+    )
     globals()["buddy"] = buddy
     globals()["filter_model"] = buddy.model
     globals()["task"] = task
     globals()["dataset_args"] = dataset_args
     globals()["mesh"] = mesh
+    buddy.model.use_pipeline(
+        pipeline_mesh, num_microbatches=pipeline_microbatches
+    )
     _eval_batch_cache.clear()
 
 

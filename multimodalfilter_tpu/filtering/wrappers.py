@@ -167,6 +167,7 @@ class StatefulFilter:
         self._training = True
         self._belief = None
         self._fn_cache = {}
+        self._pipeline = None  # (mesh, axis_name, num_microbatches) or None
         self.frozen_paths: set = set()
         count = _fusion_count(definition)
         self._enabled_models: Optional[List[bool]] = (
@@ -174,6 +175,19 @@ class StatefulFilter:
         )
 
     # -- mode / config --------------------------------------------------------
+    def use_pipeline(self, mesh, axis_name: str = "pipe", num_microbatches: int = 2):
+        """Route forward_loop through temporal pipeline parallelism: the time
+        axis sharded over `mesh`'s `axis_name` with the belief carry relayed
+        stage->stage (parallel/temporal_pipeline.py). T is zero-padded up to
+        a multiple of the stage count and the padded estimates are dropped;
+        note the STORED belief then reflects the padded rollout (harmless
+        for eval, where beliefs are re-initialized per run). Pass mesh=None
+        to disable."""
+        if mesh is None:
+            self._pipeline = None
+        else:
+            self._pipeline = (mesh, axis_name, int(num_microbatches))
+
     def train(self, mode: bool = True):
         self._training = mode
 
@@ -331,6 +345,9 @@ class StatefulFilter:
         assert self._belief is not None, "Call initialize_beliefs first"
         defn, train, enabled = self.definition, self._training, self._enabled_tuple
 
+        if self._pipeline is not None:
+            return self._pipelined_forward_loop(observations, controls)
+
         def maker():
             return jax.jit(
                 lambda params, belief, obs, ctrl, key: defn.forward_loop(
@@ -347,6 +364,53 @@ class StatefulFilter:
             self._next_key(),
         )
         return estimates
+
+    def _pipelined_forward_loop(self, observations, controls):
+        """forward_loop over the configured temporal pipeline (use_pipeline),
+        with T zero-padded to the stage count and padded estimates dropped."""
+        import jax.numpy as jnp
+
+        from ..parallel.temporal_pipeline import (
+            make_pipelined_filter_loop,
+            make_pipelined_pf_loop,
+        )
+        from .pf import ParticleFilterDef
+
+        defn, train, enabled = self.definition, self._training, self._enabled_tuple
+        mesh, axis_name, micro = self._pipeline
+        stages = mesh.shape[axis_name]
+
+        def maker():
+            make = (
+                make_pipelined_pf_loop
+                if isinstance(defn, ParticleFilterDef)
+                else make_pipelined_filter_loop
+            )
+            return make(
+                defn, mesh, axis_name=axis_name, num_microbatches=micro,
+                train=train, enabled=enabled,
+            )
+
+        fn = self._get_fn("pipeloop", maker, extra=(axis_name, micro, id(mesh)))
+        controls = to_device(controls)
+        observations = to_device(observations)
+        t = controls.shape[0]
+        pad = (-t) % stages
+        if pad:
+            observations = jax.tree_util.tree_map(
+                lambda x: jnp.concatenate(
+                    [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+                ),
+                observations,
+            )
+            controls = jnp.concatenate(
+                [controls, jnp.zeros((pad,) + controls.shape[1:], controls.dtype)],
+                axis=0,
+            )
+        self._belief, estimates = fn(
+            self.params, self._belief, observations, controls, self._next_key()
+        )
+        return estimates[:t]
 
     # -- convenience -----------------------------------------------------------------
     @property
