@@ -31,6 +31,12 @@ microbatch slice with that fold applied (bitwise on the particle path),
 and with micro=1 + the fold disabled it is bitwise the plain full-batch
 loop.
 
+The pipeline is a FORWARD/serving construct: the schedule runs under
+`lax.fori_loop`, which does not support reverse-mode differentiation — for
+training, shard the batch (data_parallel.py) instead. `train=True` only
+selects the defs' train-mode step semantics (e.g. the PF's no-resample
+path) for forward evaluation.
+
 This is a new TPU enablement like particle sharding (SURVEY §2.5: the
 reference has no distributed layer); it completes the parallelism family:
 dp (batch), particle sharding (the model-parallel analog), the composed
