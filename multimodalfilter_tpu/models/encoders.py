@@ -158,15 +158,26 @@ class ImageEncoder(nn.Module):
             # copy of the activation at serving batches — measured 10.6ms vs
             # 14.7ms vs 76.5ms for fold-conv / fold-matmul / unfused at the
             # 51200-frame saturated batch).
-            w_conv = w_flat.reshape(32, 32, 16, w_flat.shape[1])
+            u = w_flat.shape[1]
+            w_conv = w_flat.reshape(32, 32, 16, u)
             if self.dtype is not None:
                 w_conv = w_conv.astype(self.dtype)
                 x = x.astype(self.dtype)
-            y = jax.lax.conv_general_dilated(
-                x, w_conv, (1, 1), "VALID",
+            # Two half-height VALID convs (rows 0-15 / 16-31) summed, not
+            # one full-window conv: XLA canonicalizes a full-input-window
+            # conv into reshape+dot, which forces a relayout of the multi-GB
+            # conv2 activation at large fp32 batches (measured -15% at
+            # N=512); a partial-window conv keeps conv2's consumer a conv
+            # and its layout chain intact.
+            y0 = jax.lax.conv_general_dilated(
+                x[:, :16], w_conv[:16], (1, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
-            x = y.reshape(n, w_flat.shape[1]) + b_eff.astype(y.dtype)
+            y1 = jax.lax.conv_general_dilated(
+                x[:, 16:], w_conv[16:], (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            x = (y0 + y1).reshape(n, u) + b_eff.astype(y0.dtype)
         else:
             x = conv3(x)
             if self.spanning_avg_pool:
