@@ -460,7 +460,13 @@ def main():
             return True
         return False
 
-    jax_sps, _ = bench_jax()
+    # BENCH_FOLD=1 (default): the folded encoder tail is the exact same
+    # linear map (models/encoders.py) and is neutral-or-faster in every
+    # measured serving config, so the fp32 figures include it; the bf16
+    # figure stays fold-free so the three-way decomposition (fp32+fold /
+    # bf16 / bf16+fold) remains visible.
+    fold_default = os.environ.get("BENCH_FOLD", "1") == "1"
+    jax_sps, _ = bench_jax(fold=fold_default)
 
     # Saturated config + MFU: the like-for-like N=16 number leaves the chip
     # ~4x under-utilized (VERDICT r1 weak #3); report a serving-batch figure
@@ -473,7 +479,7 @@ def main():
     ):
         try:
             sat_sps, flops_per_step = bench_jax(
-                batch=SAT_BATCH, measure_flops=True
+                batch=SAT_BATCH, measure_flops=True, fold=fold_default
             )
             if flops_per_step:
                 mfu = sat_sps * flops_per_step / PEAK_FLOPS
