@@ -176,7 +176,13 @@ def _device_throughput(observations, controls, states, chain: int = 4) -> float:
     ONE jitted program (the belief threads through, so none can be elided),
     timed with fresh PRNG keys and a single host scalar fetch per run. This
     amortizes the per-dispatch tunnel RTT and defeats the runtime's
-    value-caching of identical executions (CLAUDE.md traps #2/#4)."""
+    value-caching of identical executions (CLAUDE.md traps #2/#4).
+
+    The chained body runs the SAME path run_eval executed: when a pipeline
+    is configured (configure(pipeline_mesh=...)), the timer chains the
+    pipelined loop (T padded to the stage count, exactly as
+    StatefulFilter._pipelined_forward_loop pads) — the reported steps/s
+    then reflects the configured stack, not the single-device scan."""
     import functools
 
     import jax
@@ -189,7 +195,39 @@ def _device_throughput(observations, controls, states, chain: int = 4) -> float:
     ctrl_rest = controls[1:]
     belief = filter_model.belief
 
-    cache_key = ("chained_loop", id(defn), enabled, t, n)
+    pipeline = filter_model._pipeline
+    if pipeline is not None:
+        # Pad T-1 to the stage count once, outside the timed chain; the
+        # useful-step count below stays (t-1)*n, so padding overhead is
+        # billed — the same overhead real pipelined eval pays.
+        mesh, axis_name, _micro = pipeline
+        stages = mesh.shape[axis_name]
+        pad = (-(t - 1)) % stages
+        if pad:
+            obs_rest = {
+                k: jnp.concatenate(
+                    [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
+                )
+                for k, v in obs_rest.items()
+            }
+            ctrl_rest = jnp.concatenate(
+                [ctrl_rest,
+                 jnp.zeros((pad,) + ctrl_rest.shape[1:], ctrl_rest.dtype)],
+                axis=0,
+            )
+        pipe_fn = filter_model._get_pipeline_fn()
+
+        def loop_fn(params, b, obs, ctrl, key):
+            return pipe_fn(params, b, obs, ctrl, key)
+
+    else:
+
+        def loop_fn(params, b, obs, ctrl, key):
+            return defn.forward_loop(
+                params, b, obs, ctrl, key, train=False, enabled=enabled
+            )
+
+    cache_key = ("chained_loop", filter_model.loop_cache_key(), t, n)
     if cache_key not in _eval_batch_cache:
 
         @functools.partial(jax.jit, static_argnames=("reps",))
@@ -203,9 +241,8 @@ def _device_throughput(observations, controls, states, chain: int = 4) -> float:
                 # ~2-4x above true fresh-data throughput (see bench.py).
                 eps = i.astype(jnp.float32) * 1e-12
                 obs_i = jax.tree_util.tree_map(lambda v: v + eps, obs)
-                nb, est = defn.forward_loop(
-                    params, b, obs_i, ctrl + eps, jax.random.fold_in(key, i),
-                    train=False, enabled=enabled,
+                nb, est = loop_fn(
+                    params, b, obs_i, ctrl + eps, jax.random.fold_in(key, i)
                 )
                 return (nb, acc + est.sum()), None
 
@@ -287,9 +324,10 @@ def run_eval(measurement_initialize=False, eval_dynamics=False) -> Dict[str, flo
         # Warm-up pass: excludes jit compile and fresh-buffer registration
         # from the throughput number (the warm-up result is discarded; the
         # timed run below regenerates the belief trajectory used for
-        # metrics). Skipped when this (filter, mode) pair already compiled.
-        warm_key = ("loop", filter_model.training, filter_model._enabled_tuple,
-                    id(filter_model.definition))
+        # metrics). Skipped when this (filter, mode, pipeline-config) tuple
+        # already compiled — loop_cache_key() resolves to "pipeloop" when a
+        # pipeline is configured, so pipelined repeats don't double-roll.
+        warm_key = filter_model.loop_cache_key()
         if warm_key not in filter_model._fn_cache:
             saved_belief = filter_model.belief
             np.asarray(

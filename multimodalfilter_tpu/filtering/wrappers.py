@@ -31,6 +31,16 @@ from ..utils.pytree import get_by_path
 _FUSION_FIELDS = ("filter_models", "measurement_models", "virtual_sensor_model")
 
 
+def _mesh_fingerprint(mesh) -> tuple:
+    """Stable identity for a Mesh: axis layout + device ids. (id(mesh) is
+    unsafe as a cache key — a GC'd Mesh's id can be reused by a new object,
+    serving a stale compiled loop closed over the dead mesh.)"""
+    return (
+        tuple(mesh.shape.items()),
+        tuple(int(d.id) for d in mesh.devices.flat),
+    )
+
+
 def _fusion_count(definition) -> Optional[int]:
     """Number of fused per-modality models, searching one level deep
     (e.g. a PF whose measurement model is a crossmodal fusion)."""
@@ -273,6 +283,19 @@ class StatefulFilter:
             self._fn_cache[key] = maker()
         return self._fn_cache[key]
 
+    def loop_cache_key(self):
+        """The _fn_cache key the NEXT forward_loop call will compile under —
+        "pipeloop" (+ pipeline extras) when a pipeline is configured, plain
+        "loop" otherwise. Eval warm-up checks must probe THIS key (probing
+        "loop" while the pipeline is configured silently double-rolls every
+        repeat)."""
+        if self._pipeline is not None:
+            mesh, axis_name, micro = self._pipeline
+            return self._cache_key(
+                "pipeloop", (axis_name, micro, _mesh_fingerprint(mesh))
+            )
+        return self._cache_key("loop")
+
     # -- torchfilter.base.Filter API ------------------------------------------------
     @property
     def belief(self):
@@ -365,11 +388,10 @@ class StatefulFilter:
         )
         return estimates
 
-    def _pipelined_forward_loop(self, observations, controls):
-        """forward_loop over the configured temporal pipeline (use_pipeline),
-        with T zero-padded to the stage count and padded estimates dropped."""
-        import jax.numpy as jnp
-
+    def _get_pipeline_fn(self):
+        """The compiled pipelined-loop callable for the current config:
+        fn(params, belief, obs_seq, ctrl_seq, key) with T divisible by the
+        stage count (callers pad — see _pipelined_forward_loop)."""
         from ..parallel.temporal_pipeline import (
             make_pipelined_filter_loop,
             make_pipelined_pf_loop,
@@ -378,7 +400,6 @@ class StatefulFilter:
 
         defn, train, enabled = self.definition, self._training, self._enabled_tuple
         mesh, axis_name, micro = self._pipeline
-        stages = mesh.shape[axis_name]
 
         def maker():
             make = (
@@ -391,7 +412,18 @@ class StatefulFilter:
                 train=train, enabled=enabled,
             )
 
-        fn = self._get_fn("pipeloop", maker, extra=(axis_name, micro, id(mesh)))
+        return self._get_fn(
+            "pipeloop", maker, extra=(axis_name, micro, _mesh_fingerprint(mesh))
+        )
+
+    def _pipelined_forward_loop(self, observations, controls):
+        """forward_loop over the configured temporal pipeline (use_pipeline),
+        with T zero-padded to the stage count and padded estimates dropped."""
+        import jax.numpy as jnp
+
+        mesh, axis_name, micro = self._pipeline
+        stages = mesh.shape[axis_name]
+        fn = self._get_pipeline_fn()
         controls = to_device(controls)
         observations = to_device(observations)
         t = controls.shape[0]

@@ -148,17 +148,26 @@ def _as_rows(a: np.ndarray) -> np.ndarray:
 def window_gather(
     src: np.ndarray, starts: np.ndarray, window_len: int, n_threads: int = 0
 ) -> np.ndarray:
-    """np.stack([src[s : s + window_len] for s in starts]) for float32 `src`
-    of shape (T, ...). Windows may overlap (arbitrary starts)."""
-    src = np.ascontiguousarray(src, dtype=np.float32)
+    """np.stack([src[s : s + window_len] for s in starts]) for `src` of shape
+    (T, ...). Windows may overlap (arbitrary starts). The native kernel
+    handles float32; other dtypes take a dtype-PRESERVING numpy path (no
+    silent downcast of float64/int trajectory arrays)."""
+    src = np.ascontiguousarray(src)
     starts = np.ascontiguousarray(starts, dtype=np.int64)
-    assert starts.ndim == 1
+    if starts.ndim != 1:
+        raise ValueError(f"starts must be 1-D, got shape {starts.shape}")
     if starts.size:
-        assert int(starts.min()) >= 0
-        assert int(starts.max()) + window_len <= src.shape[0]
-    out = np.empty((starts.size, window_len) + src.shape[1:], dtype=np.float32)
+        # Real errors (not asserts): under `python -O` an assert vanishes and
+        # the C kernel would memcpy out-of-bounds instead of raising.
+        if int(starts.min()) < 0 or int(starts.max()) + window_len > src.shape[0]:
+            raise ValueError(
+                f"window [start, start+{window_len}) out of bounds for "
+                f"src with {src.shape[0]} rows "
+                f"(starts min {int(starts.min())}, max {int(starts.max())})"
+            )
+    out = np.empty((starts.size, window_len) + src.shape[1:], dtype=src.dtype)
     lib = _get_lib()
-    if lib is None:
+    if lib is None or src.dtype != np.float32:
         for i, s in enumerate(starts):
             out[i] = src[s : s + window_len]
         return out
@@ -171,14 +180,20 @@ def window_gather(
 
 
 def row_gather(src: np.ndarray, idx: np.ndarray, n_threads: int = 0) -> np.ndarray:
-    """src[idx] for float32 `src` of shape (T, ...)."""
-    src = np.ascontiguousarray(src, dtype=np.float32)
+    """src[idx] for `src` of shape (T, ...). Native kernel for float32;
+    dtype-preserving numpy fallback otherwise."""
+    src = np.ascontiguousarray(src)
     idx = np.ascontiguousarray(idx, dtype=np.int64)
-    assert idx.ndim == 1
+    if idx.ndim != 1:
+        raise ValueError(f"idx must be 1-D, got shape {idx.shape}")
     if idx.size:
-        assert 0 <= int(idx.min()) and int(idx.max()) < src.shape[0]
+        if int(idx.min()) < 0 or int(idx.max()) >= src.shape[0]:
+            raise ValueError(
+                f"index out of bounds for src with {src.shape[0]} rows "
+                f"(idx min {int(idx.min())}, max {int(idx.max())})"
+            )
     lib = _get_lib()
-    if lib is None:
+    if lib is None or src.dtype != np.float32:
         return src[idx]
     out = np.empty((idx.size,) + src.shape[1:], dtype=np.float32)
     rows = _as_rows(src)

@@ -192,3 +192,30 @@ def test_door_loader_native_vs_fallback(tmp_path, monkeypatch):
                 assert np.array_equal(ta.observations[k], tb.observations[k])
     finally:
         cache_mod._cache_path = None
+
+
+def test_gather_dtype_preserved():
+    """Non-float32 inputs take the dtype-preserving numpy path — float64/int
+    trajectory arrays must not be silently downcast (round-2 advisor)."""
+    for dtype in (np.float64, np.int32, np.int64):
+        src = np.arange(40, dtype=dtype).reshape(10, 4)
+        out = native.window_gather(src, np.array([0, 3], np.int64), 5)
+        assert out.dtype == dtype
+        assert np.array_equal(out[1], src[3:8])
+        out2 = native.row_gather(src, np.array([2, 9], np.int64))
+        assert out2.dtype == dtype
+        assert np.array_equal(out2, src[[2, 9]])
+
+
+def test_gather_bounds_raise_value_error():
+    """Out-of-range windows/indices raise ValueError (not assert — asserts
+    vanish under `python -O` and the C kernel would read out of bounds)."""
+    src = np.zeros((10, 4), np.float32)
+    with pytest.raises(ValueError):
+        native.window_gather(src, np.array([7], np.int64), 5)
+    with pytest.raises(ValueError):
+        native.window_gather(src, np.array([-1], np.int64), 5)
+    with pytest.raises(ValueError):
+        native.row_gather(src, np.array([10], np.int64))
+    with pytest.raises(ValueError):
+        native.row_gather(src, np.array([-1], np.int64))
