@@ -28,6 +28,8 @@ filter_model = None
 trajectories: List[Trajectory]
 num_workers: int = 0
 mesh = None
+pipeline_mesh = None
+pipeline_microbatches: int = 2
 
 
 def configure(
@@ -36,17 +38,26 @@ def configure(
     trajectories: List[Trajectory],
     num_workers: int = 0,
     mesh=None,
+    pipeline_mesh=None,
+    pipeline_microbatches: int = 2,
 ):
     """Configure global settings for training helpers.
 
     ``num_workers`` is accepted for CLI compatibility but unused (there is no
     host dataloader; data lives on device). ``mesh`` optionally enables
-    data-parallel sharding of e2e training over a jax.sharding.Mesh."""
+    data-parallel sharding of e2e training over a jax.sharding.Mesh;
+    ``pipeline_mesh`` instead runs e2e BPTT through the differentiable
+    temporal pipeline (time axis over the mesh's "pipe" axis — requires
+    subsequence_length-1 divisible by the stage count). Exclusive with
+    ``mesh``."""
+    assert mesh is None or pipeline_mesh is None
     globals()["buddy"] = buddy
     globals()["filter_model"] = buddy.model
     globals()["trajectories"] = trajectories
     globals()["num_workers"] = num_workers
     globals()["mesh"] = mesh
+    globals()["pipeline_mesh"] = pipeline_mesh
+    globals()["pipeline_microbatches"] = pipeline_microbatches
 
 
 def train_pf_dynamics_single_step(
@@ -114,4 +125,6 @@ def train_e2e(
         initial_cov_scale=initial_cov_scale,
         measurement_initialize=measurement_initialize,
         optimizer_name=optimizer_name, mesh=mesh,
+        pipeline_mesh=pipeline_mesh,
+        pipeline_microbatches=pipeline_microbatches,
     )

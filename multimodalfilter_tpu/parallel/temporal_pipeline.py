@@ -31,11 +31,14 @@ microbatch slice with that fold applied (bitwise on the particle path),
 and with micro=1 + the fold disabled it is bitwise the plain full-batch
 loop.
 
-The pipeline is a FORWARD/serving construct: the schedule runs under
-`lax.fori_loop`, which does not support reverse-mode differentiation — for
-training, shard the batch (data_parallel.py) instead. `train=True` only
-selects the defs' train-mode step semantics (e.g. the PF's no-resample
-path) for forward evaluation.
+The schedule is reverse-mode differentiable (round 3): it runs as a
+`lax.scan` over the static `num_stages + micro - 1` schedule steps with a
+checkpointed body, so BPTT through a pipelined rollout works — grads match
+the plain-loop grads (tests/test_temporal_pipeline.py), with activation
+memory bounded at one chunk scan per schedule step (the backward
+rematerializes each chunk). `train=True` selects the defs' train-mode step
+semantics (e.g. the PF's no-resample path, which is the differentiable
+one); `train_e2e(pipeline_mesh=...)` trains through the pipelined loop.
 
 This is a new TPU enablement like particle sharding (SURVEY §2.5: the
 reference has no distributed layer); it completes the parallelism family:
@@ -83,7 +86,7 @@ def _run_pipeline(
         lambda x: jnp.zeros((nm,) + x.shape[1:], x.dtype), belief0
     )
 
-    def body(s, carry):
+    def body(carry, s):
         out_belief, est_buf, final_belief = carry
         # Receive the belief the previous stage produced last step.
         perm = [(i, i + 1) for i in range(num_stages - 1)]
@@ -112,15 +115,20 @@ def _run_pipeline(
             drain, _tree_update_batch(final_belief, belief_out, mc_c * nm),
             final_belief,
         )
-        return (belief_out, est_buf, final_belief)
+        return (belief_out, est_buf, final_belief), None
 
     carry0 = (
         zeros_mb,
         jnp.zeros_like(est_template),
         jax.tree_util.tree_map(jnp.zeros_like, belief0),
     )
-    _, est_buf, final_belief = jax.lax.fori_loop(
-        0, num_stages + micro - 1, body, carry0
+    # The schedule is a lax.scan over the static num_stages+micro-1 steps —
+    # NOT fori_loop — so reverse-mode AD works (pipelined BPTT). Each
+    # schedule step is checkpointed: the backward pass stores only the
+    # inter-step carries (microbatch beliefs) and rematerializes each
+    # chunk's scan, bounding activation memory at one chunk per stage.
+    (_, est_buf, final_belief), _ = jax.lax.scan(
+        jax.checkpoint(body), carry0, jnp.arange(num_stages + micro - 1)
     )
 
     # Replicate the drained final belief (held by the last stage only).

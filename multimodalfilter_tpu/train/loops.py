@@ -262,18 +262,58 @@ def train_virtual_sensor(
 def train_e2e(
     buddy, model, dataset, *, epochs, batch_size=32, initial_cov_scale=0.1,
     measurement_initialize=False, optimizer_name="train_filter_recurrent",
-    mesh=None,
+    mesh=None, pipeline_mesh=None, pipeline_microbatches: int = 2,
 ):
     """BPTT through `subsequence_length` filter steps (torchfilter.train.
     train_filter equivalent). Beliefs initialize at ground truth state[0]
     with initial_cov_scale * I (crossmodal/train_helpers.py:124-162).
 
     With `mesh`, the step is sharded data-parallel over the batch axis (see
-    parallel/data_parallel.py)."""
+    parallel/data_parallel.py). With `pipeline_mesh`, BPTT runs through the
+    temporal pipeline instead: the subsequence's time axis sharded over the
+    mesh's "pipe" axis with a checkpointed, differentiable GPipe schedule
+    (parallel/temporal_pipeline.py) — requires (subsequence_length - 1)
+    divisible by the stage count and batch_size by pipeline_microbatches.
+    Mutually exclusive with `mesh`."""
+    assert mesh is None or pipeline_mesh is None, (
+        "mesh (batch-DP) and pipeline_mesh (time-pipeline) are exclusive"
+    )
     root, path, defn = _model_parts(model)
     enabled = root._enabled_tuple
     seq_len = dataset.subsequence_length
     state_dim = defn.state_dim
+
+    if pipeline_mesh is not None:
+        from ..filtering.pf import ParticleFilterDef
+        from ..parallel.temporal_pipeline import (
+            make_pipelined_filter_loop,
+            make_pipelined_pf_loop,
+        )
+
+        stages = pipeline_mesh.shape["pipe"]
+        assert (seq_len - 1) % stages == 0, (
+            f"subsequence steps {seq_len - 1} not divisible by {stages} stages"
+        )
+        make = (
+            make_pipelined_pf_loop
+            if isinstance(defn, ParticleFilterDef)
+            else make_pipelined_filter_loop
+        )
+        pipelined_loop = make(
+            defn, pipeline_mesh, num_microbatches=pipeline_microbatches,
+            train=True, enabled=enabled,
+        )
+
+        def loop_fn(sub, belief, obs_rest, ctrl_rest, key):
+            return pipelined_loop(sub, belief, obs_rest, ctrl_rest, key)
+
+    else:
+
+        def loop_fn(sub, belief, obs_rest, ctrl_rest, key):
+            return defn.forward_loop(
+                sub, belief, obs_rest, ctrl_rest, key, train=True,
+                enabled=enabled,
+            )
 
     def loss_fn(params, batch, key):
         sub = _sub_params(params, path)
@@ -300,9 +340,7 @@ def train_e2e(
             )
             belief = defn.initialize_beliefs(sub, k_init, states[0], cov, train=True)
         obs_rest = jax.tree_util.tree_map(lambda a: a[1:], obs)
-        _, estimates = defn.forward_loop(
-            sub, belief, obs_rest, controls[1:], k_loop, train=True, enabled=enabled
-        )
+        _, estimates = loop_fn(sub, belief, obs_rest, controls[1:], k_loop)
         return jnp.mean((estimates - states[1:]) ** 2)
 
     data = {
@@ -313,6 +351,7 @@ def train_e2e(
     cache_extra = (
         "e2e", path, enabled, seq_len, batch_size, measurement_initialize,
         initial_cov_scale, mesh is not None,
+        None if pipeline_mesh is None else ("pipe", pipeline_microbatches),
     )
     if mesh is not None:
         from ..parallel.data_parallel import make_sharded_epoch_fn

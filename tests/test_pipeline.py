@@ -203,3 +203,35 @@ def test_eval_dynamics_mode(trained_pf, synth_env):
 
     results = crossmodal.eval_helpers.run_eval(eval_dynamics=True)
     assert np.isfinite(results["theta_rmse_deg"])
+
+
+def test_train_e2e_pipelined(trained_pf, door_trajectories):
+    """e2e BPTT through the differentiable temporal pipeline: 4 stages x
+    micro=2 over a 5-step subsequence window (4 filter steps), loss finite
+    and params actually move."""
+    import crossmodal
+    import jax
+    from multimodalfilter_tpu.parallel.mesh import create_mesh
+
+    model, buddy, _, _ = trained_pf
+    th = crossmodal.train_helpers
+    th.configure(
+        buddy=buddy, trajectories=door_trajectories,
+        pipeline_mesh=create_mesh(4, axis_names=("pipe",)),
+        pipeline_microbatches=2,
+    )
+    before = [
+        np.array(x) for x in jax.tree_util.tree_leaves(
+            get_by_path(model.params, "measurement_model")
+        )
+    ]
+    loss = th.train_e2e(subsequence_length=5, epochs=1, batch_size=8)
+    assert loss is not None and np.isfinite(loss)
+    after = [
+        np.array(x) for x in jax.tree_util.tree_leaves(
+            get_by_path(model.params, "measurement_model")
+        )
+    ]
+    assert any(not np.array_equal(a, b) for a, b in zip(before, after))
+    # Restore the plain config for any later tests in the module.
+    th.configure(buddy=buddy, trajectories=door_trajectories)

@@ -316,3 +316,140 @@ def test_pipeline_rejects_indivisible_t():
         assert "not divisible" in str(e)
     else:
         raise AssertionError("expected divisibility assertion")
+
+
+# ---------------------------------------------------------------------------
+# BPTT through the pipeline (round 3): the schedule is a checkpointed
+# lax.scan, so reverse-mode grads flow through the stage relay.
+# ---------------------------------------------------------------------------
+
+
+def _param_grads_close(ga, gb, atol=1e-4, rtol=1e-3):
+    la, lb = jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=atol, rtol=rtol
+        )
+
+
+def test_pipeline_bptt_grads_match_plain_ekf():
+    """Grads of an MSE rollout loss through the pipelined generic loop
+    (micro=1, fold off -> forward is bitwise the plain loop) must match the
+    plain forward_loop grads."""
+    from test_filter_core import _make_ekf
+    from multimodalfilter_tpu.parallel.temporal_pipeline import (
+        make_pipelined_filter_loop,
+    )
+
+    key = jax.random.PRNGKey(8)
+    batch, t = 4, 16
+    states, obs, controls = _simulate(key, timesteps=t, batch=batch)
+    ekf = _make_ekf()
+    params = ekf.init(key)
+    cov0 = jnp.broadcast_to(
+        0.1 * jnp.eye(STATE_DIM), (batch, STATE_DIM, STATE_DIM)
+    )
+    belief = ekf.initialize_beliefs(params, key, states[0], cov0, train=True)
+
+    mesh = create_mesh(4, axis_names=("pipe",))
+    loop = make_pipelined_filter_loop(
+        ekf, mesh, num_microbatches=1, train=True, fold_microbatch_key=False
+    )
+
+    def loss_pipelined(p):
+        _, est = loop(p, belief, {"y": obs}, controls, key)
+        return jnp.mean((est - states[1:]) ** 2)
+
+    def loss_plain(p):
+        _, est = ekf.forward_loop(
+            p, belief, {"y": obs}, controls, key, train=True
+        )
+        return jnp.mean((est - states[1:]) ** 2)
+
+    lp, gp = jax.value_and_grad(loss_pipelined)(params)
+    ls, gs = jax.value_and_grad(loss_plain)(params)
+    np.testing.assert_allclose(float(lp), float(ls), rtol=1e-6)
+    _param_grads_close(gp, gs)
+
+
+def test_pipeline_bptt_grads_match_plain_pf():
+    """PF train-mode BPTT (soft/no-resample path) through the pipelined PF
+    loop: grads match the plain train-mode forward_loop (micro=1, fold
+    off)."""
+    key = jax.random.PRNGKey(9)
+    batch, t = 4, 16
+    states, obs, controls = _simulate(key, timesteps=t, batch=batch)
+    pf = _make_pf(num_particles=32)
+    params = pf.init(key)
+    cov0 = jnp.broadcast_to(
+        0.1 * jnp.eye(STATE_DIM), (batch, STATE_DIM, STATE_DIM)
+    )
+    belief = pf.initialize_beliefs(params, key, states[0], cov0, train=True)
+
+    mesh = create_mesh(4, axis_names=("pipe",))
+    loop = make_pipelined_pf_loop(
+        pf, mesh, num_microbatches=1, train=True, fold_microbatch_key=False
+    )
+
+    def loss_pipelined(p):
+        _, est = loop(p, belief, {"y": obs}, controls, key)
+        return jnp.mean((est - states[1:]) ** 2)
+
+    def loss_plain(p):
+        _, est = pf.forward_loop(
+            p, belief, {"y": obs}, controls, key, train=True
+        )
+        return jnp.mean((est - states[1:]) ** 2)
+
+    lp, gp = jax.value_and_grad(loss_pipelined)(params)
+    ls, gs = jax.value_and_grad(loss_plain)(params)
+    np.testing.assert_allclose(float(lp), float(ls), rtol=1e-6)
+    _param_grads_close(gp, gs)
+
+
+def test_pipeline_bptt_grads_microbatched():
+    """micro=2: pipelined grads equal the sum-consistent grads of the
+    per-microbatch-slice plain loops with the documented key fold (the same
+    decomposition the forward equivalence test pins)."""
+    key = jax.random.PRNGKey(10)
+    batch, micro, t = 4, 2, 16
+    states, obs, controls = _simulate(key, timesteps=t, batch=batch)
+    pf = _make_pf(num_particles=32)
+    params = pf.init(key)
+    cov0 = jnp.broadcast_to(
+        0.1 * jnp.eye(STATE_DIM), (batch, STATE_DIM, STATE_DIM)
+    )
+    belief = pf.initialize_beliefs(params, key, states[0], cov0, train=True)
+
+    mesh = create_mesh(4, axis_names=("pipe",))
+    loop = make_pipelined_pf_loop(pf, mesh, num_microbatches=micro, train=True)
+
+    def loss_pipelined(p):
+        _, est = loop(p, belief, {"y": obs}, controls, key)
+        return jnp.mean((est - states[1:]) ** 2)
+
+    nm = batch // micro
+    keys = jax.random.split(key, t)
+
+    def loss_sliced(p):
+        total = 0.0
+        for mc in range(micro):
+            sl = slice(mc * nm, (mc + 1) * nm)
+            bel_mc = type(belief)(belief.particles[sl], belief.log_weights[sl])
+            keys_mc = jax.vmap(lambda k: jax.random.fold_in(k, mc))(keys)
+
+            def scan_step(carry, inputs):
+                o_t, c_t, k_t = inputs
+                return pf.step(p, carry, {"y": o_t}, c_t, k_t, train=True)
+
+            _, est_mc = jax.lax.scan(
+                scan_step, bel_mc, (obs[:, sl], controls[:, sl], keys_mc)
+            )
+            total = total + jnp.sum((est_mc - states[1:, sl]) ** 2)
+        return total / (t * batch * STATE_DIM)
+
+    lp, gp = jax.value_and_grad(loss_pipelined)(params)
+    ls, gs = jax.value_and_grad(loss_sliced)(params)
+    np.testing.assert_allclose(float(lp), float(ls), rtol=1e-5)
+    _param_grads_close(gp, gs, atol=1e-4, rtol=5e-3)
