@@ -69,6 +69,39 @@ def _normalize_enabled(enabled: Optional[Tuple[bool, ...]], count: int):
     return enabled
 
 
+def _stacked_image_injection(participants, observations):
+    """Channel-stack the image encoders of `participants` over the shared
+    frame batch (models/stacked.py — the serving MFU lever: K lane-starved
+    CNNs become one wide pass).
+
+    participants: list of (pid, net, net_params) whose nets MAY own an
+    obs_encoders image encoder. Returns {pid: observations-with-injected
+    "_image_features"} for the stacked subset, or None when fewer than two
+    participants share an identical encoder architecture (mixed configs fall
+    back to the per-instance path).
+    """
+    from ..models.stacked import (
+        encoder_stack_config,
+        image_encoder_params,
+        stacked_image_features,
+    )
+
+    configs = [(p, encoder_stack_config(p[1])) for p in participants]
+    stackable = [(p, c) for p, c in configs if c is not None]
+    if len(stackable) < 2 or len({c for _, c in stackable}) != 1:
+        return None
+    cfg = stackable[0][1]
+    feats = stacked_image_features(
+        [image_encoder_params(net_params) for (_, _, net_params), _ in stackable],
+        observations["image"],
+        spanning_avg_pool=cfg[1], dtype=cfg[2], fold_tail=cfg[3],
+    )
+    return {
+        pid: {**observations, "_image_features": f}
+        for ((pid, _, _), _), f in zip(stackable, feats)
+    }
+
+
 # ---------------------------------------------------------------------------
 # Weight models
 # ---------------------------------------------------------------------------
@@ -130,6 +163,26 @@ class CrossmodalPFMeasurementDef:
     measurement_models: Tuple[Any, ...]  # MeasurementDefs
     crossmodal_weight_model: Optional[PFWeightDef]
     state_dim: int
+    # Run the per-modality + gate image encoders as ONE channel-stacked pass
+    # (models/stacked.py; MMF_TPU_STACK_ENC=1 via StatefulFilter). Exact
+    # same math per encoder; param structure unchanged.
+    stack_image_encoders: bool = False
+
+    def _stack_injection(self, params, observations, enabled):
+        if not self.stack_image_encoders:
+            return None
+        parts = [
+            (str(i), mm.net, params["measurement_models"][str(i)])
+            for i, mm in enumerate(self.measurement_models)
+            if enabled[i] and hasattr(mm, "net")
+        ]
+        if self.crossmodal_weight_model is not None:
+            parts.append((
+                "_gate",
+                self.crossmodal_weight_model.net,
+                params["crossmodal_weight_model"],
+            ))
+        return _stacked_image_injection(parts, observations)
 
     def init(self, key):
         keys = jax.random.split(key, len(self.measurement_models) + 1)
@@ -149,6 +202,15 @@ class CrossmodalPFMeasurementDef:
         self, params, states, observations, enabled: Optional[Tuple[bool, ...]] = None
     ):
         enabled = _normalize_enabled(enabled, len(self.measurement_models))
+        if self.stack_image_encoders:
+            # encode -> from_features is exactly __call__ split in two
+            # (task_nets.py LogLikelihoodNet), and encode_observations is
+            # where the stacked pass lives.
+            return self.log_likelihoods_from_features(
+                params, states,
+                self.encode_observations(params, observations, enabled),
+                enabled,
+            )
         # Static specialization: disabled modality networks are never traced.
         lls = jnp.stack(
             [
@@ -175,16 +237,21 @@ class CrossmodalPFMeasurementDef:
         self, params, observations, enabled: Optional[Tuple[bool, ...]] = None
     ):
         enabled = _normalize_enabled(enabled, len(self.measurement_models))
+        inj = self._stack_injection(params, observations, enabled)
+
+        def obs_for(pid):
+            return inj[pid] if inj is not None and pid in inj else observations
+
         features = {
             str(i): mm.encode_observations(
-                params["measurement_models"][str(i)], observations
+                params["measurement_models"][str(i)], obs_for(str(i))
             )
             for i, mm in enumerate(self.measurement_models)
             if enabled[i]
         }
         if self.crossmodal_weight_model is not None:
             features["_log_weights"] = self.crossmodal_weight_model.log_weights(
-                params["crossmodal_weight_model"], observations
+                params["crossmodal_weight_model"], obs_for("_gate")
             )
         return features
 
@@ -237,6 +304,29 @@ class CrossmodalKFDef(FilterDef):
     control_dim: int = 7
     obs_spec: ObsSpec = DEFAULT_OBS_SPEC
     know_image_blackout: bool = False
+    # Channel-stack the image child's virtual-sensor encoder with the gate's
+    # (models/stacked.py; MMF_TPU_STACK_ENC=1 via StatefulFilter).
+    stack_image_encoders: bool = False
+
+    def _stack_injection(self, params, observations, enabled, include_gate):
+        if not self.stack_image_encoders:
+            return None
+        parts = [
+            (
+                str(i),
+                fm.virtual_sensor_model.net,
+                params["filter_models"][str(i)]["virtual_sensor_model"],
+            )
+            for i, fm in enumerate(self.filter_models)
+            if enabled[i] and hasattr(fm.virtual_sensor_model, "net")
+        ]
+        if include_gate:
+            parts.append((
+                "_gate",
+                self.crossmodal_weight_model.net,
+                params["crossmodal_weight_model"],
+            ))
+        return _stacked_image_injection(parts, observations)
 
     def init(self, key):
         keys = jax.random.split(key, len(self.filter_models) + 1)
@@ -251,15 +341,20 @@ class CrossmodalKFDef(FilterDef):
         del params, key, train
         return GaussianBelief(mean, covariance)
 
-    def _child_posteriors(self, params, belief, observations, controls, enabled):
+    def _child_posteriors(
+        self, params, belief, observations, controls, enabled, inj=None
+    ):
         means, covs = [], []
         for i, fm in enumerate(self.filter_models):
             if not enabled[i]:
                 continue
+            obs_i = (
+                inj[str(i)] if inj is not None and str(i) in inj else observations
+            )
             child_belief, child_mean = fm.step(
                 params["filter_models"][str(i)],
                 belief,
-                observations,
+                obs_i,
                 controls,
                 key=None,
                 train=False,
@@ -281,8 +376,11 @@ class CrossmodalKFDef(FilterDef):
     ):
         del key, train
         enabled = _normalize_enabled(enabled, len(self.filter_models))
+        inj = self._stack_injection(
+            params, observations, enabled, include_gate=all(enabled)
+        )
         unimodal_states, unimodal_covs = self._child_posteriors(
-            params, belief, observations, controls, enabled
+            params, belief, observations, controls, enabled, inj
         )
         n = unimodal_states.shape[1]
 
@@ -292,7 +390,8 @@ class CrossmodalKFDef(FilterDef):
             state_weights = jnp.ones((k_enabled, n, self.state_dim))
         else:
             state_weights = self.crossmodal_weight_model.apply(
-                params["crossmodal_weight_model"], observations
+                params["crossmodal_weight_model"],
+                inj.get("_gate", observations) if inj is not None else observations,
             )
             if self.know_image_blackout:
                 # Branchless equivalent of door crossmodal_kf.py:52-96: on
@@ -326,22 +425,45 @@ class CrossmodalKFDef(FilterDef):
         enabled = _normalize_enabled(enabled, len(self.filter_models))
         t, n = controls_seq.shape[:2]
 
+        # Stacked hoisted pass: the image child's virtual-sensor encoder and
+        # the gate's run as one channel-stacked (T*N)-batched CNN; each
+        # consumer receives its feature slice, reshaped back to (T, N, u)
+        # for the children (precompute_virtual re-flattens every leaf).
+        inj_flat = None
+        if all(enabled):
+            flat_obs_all = jax.tree_util.tree_map(
+                lambda x: x.reshape((t * n,) + x.shape[2:]), observations_seq
+            )
+            inj_flat = self._stack_injection(
+                params, flat_obs_all, enabled, include_gate=True
+            )
+
         virtuals = {}
         for i, fm in enumerate(self.filter_models):
             if enabled[i]:
+                if inj_flat is not None and str(i) in inj_flat:
+                    feat = inj_flat[str(i)]["_image_features"]
+                    obs_i = {
+                        **observations_seq,
+                        "_image_features": feat.reshape(
+                            (t, n) + feat.shape[1:]
+                        ),
+                    }
+                else:
+                    obs_i = observations_seq
                 z_seq, r_seq = fm.precompute_virtual(
-                    params["filter_models"][str(i)], observations_seq
+                    params["filter_models"][str(i)], obs_i
                 )
                 virtuals[str(i)] = (z_seq, r_seq)
 
         if not all(enabled):
             weights_seq = jnp.ones((t, sum(enabled), n, self.state_dim))
         else:
-            flat_obs = jax.tree_util.tree_map(
-                lambda x: x.reshape((t * n,) + x.shape[2:]), observations_seq
-            )
+            flat_obs = flat_obs_all
             w = self.crossmodal_weight_model.apply(
-                params["crossmodal_weight_model"], flat_obs
+                params["crossmodal_weight_model"],
+                inj_flat.get("_gate", flat_obs)
+                if inj_flat is not None else flat_obs,
             )  # (K, T*N, D)
             k = w.shape[0]
             weights_seq = w.reshape(k, t, n, self.state_dim).transpose(1, 0, 2, 3)
@@ -570,6 +692,9 @@ class CrossmodalVirtualSensorDef:
     crossmodal_weight_model: KFWeightDef
     state_dim: int
     obs_spec: ObsSpec = DEFAULT_OBS_SPEC
+    # Channel-stack the image virtual sensor's encoder with the gate's
+    # (models/stacked.py; MMF_TPU_STACK_ENC=1 via StatefulFilter).
+    stack_image_encoders: bool = False
 
     def init(self, key):
         keys = jax.random.split(key, len(self.virtual_sensor_model) + 1)
@@ -585,11 +710,30 @@ class CrossmodalVirtualSensorDef:
 
     def apply(self, params, observations, enabled: Optional[Tuple[bool, ...]] = None):
         enabled = _normalize_enabled(enabled, len(self.virtual_sensor_model))
+        inj = None
+        if self.stack_image_encoders and all(enabled):
+            parts = [
+                (str(i), vs.net, params["virtual_sensor_model"][str(i)])
+                for i, vs in enumerate(self.virtual_sensor_model)
+                if hasattr(vs, "net")
+            ]
+            parts.append((
+                "_gate",
+                self.crossmodal_weight_model.net,
+                params["crossmodal_weight_model"],
+            ))
+            inj = _stacked_image_injection(parts, observations)
+
+        def obs_for(pid):
+            return inj[pid] if inj is not None and pid in inj else observations
+
         zs, covs = [], []
         for i, vs in enumerate(self.virtual_sensor_model):
             if not enabled[i]:
                 continue
-            z, tril = vs.apply(params["virtual_sensor_model"][str(i)], observations)
+            z, tril = vs.apply(
+                params["virtual_sensor_model"][str(i)], obs_for(str(i))
+            )
             zs.append(z)
             covs.append(tril @ jnp.swapaxes(tril, -1, -2))
         unimodal_states = jnp.stack(zs)
@@ -600,7 +744,7 @@ class CrossmodalVirtualSensorDef:
             state_weights = jnp.ones((sum(enabled), n, self.state_dim))
         else:
             state_weights = self.crossmodal_weight_model.apply(
-                params["crossmodal_weight_model"], observations
+                params["crossmodal_weight_model"], obs_for("_gate")
             )
 
         mean = weighted_average(unimodal_states, state_weights)

@@ -138,17 +138,28 @@ class StatefulFilter:
 
     def __init__(self, definition, seed: int = 0):
         init_key, self._rng = jax.random.split(jax.random.PRNGKey(seed))
-        # Production opt-in: MMF_TPU_PALLAS=1 turns on the fused Pallas PF
-        # kernels (ops/pallas_pf.py) for every particle filter built through
-        # this facade — bitwise-identical eval resampling, ~+30% eval loop /
-        # +14% BPTT train throughput on TPU (scripts/tpu_smoke.py validates
-        # on hardware).
         import os
 
         from .pf import ParticleFilterDef
 
+        # MMF_TPU_SERVING=1: the one production-serving switch — applies the
+        # validated serving stack (Pallas PF kernels + bf16 encoder compute
+        # + folded encoder tail + stacked multi-instance encoders, the
+        # bench.py `value_saturated_best` configuration) in one knob. Each
+        # per-knob env still overrides individually (e.g. MMF_TPU_SERVING=1
+        # MMF_TPU_BF16=0 serves fp32 with the rest of the stack on).
+        serving = os.environ.get("MMF_TPU_SERVING", "0") == "1"
+
+        def knob(name: str, default_on: bool) -> bool:
+            return os.environ.get(name, "1" if default_on else "0") == "1"
+
+        # MMF_TPU_PALLAS=1: fused Pallas PF kernels (ops/pallas_pf.py) for
+        # every particle filter built through this facade —
+        # bitwise-identical eval resampling, 2.1-2.9x eval loop / +14% BPTT
+        # train throughput on TPU (scripts/tpu_smoke.py validates on
+        # hardware).
         if (
-            os.environ.get("MMF_TPU_PALLAS", "0") == "1"
+            knob("MMF_TPU_PALLAS", serving)
             and isinstance(definition, ParticleFilterDef)
             and not definition.pallas_resample
         ):
@@ -157,7 +168,7 @@ class StatefulFilter:
         # (params stay fp32; see utils/precision.py). Training-quality sweep
         # on TPU hardware (IMPLEMENTATION_NOTES round 2): door KF and PF
         # curricula converge to RMSE within noise of fp32.
-        if os.environ.get("MMF_TPU_BF16", "0") == "1":
+        if knob("MMF_TPU_BF16", serving):
             import jax.numpy as jnp
 
             from ..utils.precision import with_compute_dtype
@@ -166,10 +177,18 @@ class StatefulFilter:
         # MMF_TPU_FOLD_ENC=1: fold the linear conv3->[pool]->dense image
         # encoder tail into one matmul (exact same linear map,
         # fp-reassociated; ~13% off the encoder pass — models/encoders.py).
-        if os.environ.get("MMF_TPU_FOLD_ENC", "0") == "1":
+        if knob("MMF_TPU_FOLD_ENC", serving):
             from ..utils.precision import with_fold_tail
 
             definition = with_fold_tail(definition, True)
+        # MMF_TPU_STACK_ENC=1: run the K independent image encoders that
+        # consume the same frame (measurement model + gate / virtual sensor
+        # + gate) as ONE channel-stacked pass (models/stacked.py). Exact
+        # per-encoder math; params unchanged.
+        if knob("MMF_TPU_STACK_ENC", serving):
+            from ..utils.precision import with_stacked_encoders
+
+            definition = with_stacked_encoders(definition, True)
         self.definition = definition
         # jit the init: eager flax init dispatches hundreds of small ops,
         # which is pathological over a remote-TPU tunnel.

@@ -64,15 +64,29 @@ class _ObservationEncoders(nn.Module):
         feats = []
         mods = _check_modalities(self.modalities)
         if "image" in mods:
-            feats.append(
-                ImageEncoder(
-                    self.units,
-                    spanning_avg_pool=self.spanning_avg_pool,
-                    dtype=self.dtype,
-                    fold_tail=self.fold_tail,
-                    name="observation_image_layers",
-                )(observations["image"])
+            # "_image_features": precomputed image-encoder output injected by
+            # the multi-instance stacked pass (models/stacked.py) — the K
+            # independent image encoders consuming the same frame run as one
+            # channel-stacked pass and each consumer receives its slice here
+            # instead of re-running its own CNN. Exact same math (grouped
+            # convs are block-diagonal), param tree untouched.
+            pre = (
+                observations.get("_image_features")
+                if isinstance(observations, dict)
+                else None
             )
+            if pre is not None:
+                feats.append(pre)
+            else:
+                feats.append(
+                    ImageEncoder(
+                        self.units,
+                        spanning_avg_pool=self.spanning_avg_pool,
+                        dtype=self.dtype,
+                        fold_tail=self.fold_tail,
+                        name="observation_image_layers",
+                    )(observations["image"])
+                )
         if "pos" in mods:
             feats.append(
                 MLPEncoder(self.units, dtype=self.dtype, name="observation_pos_layers")(

@@ -46,3 +46,11 @@ def with_fold_tail(obj, fold: bool = True):
     linear map, fp-reassociated — see models/encoders.py). Parameter
     structure is unchanged, so checkpoints are interchangeable."""
     return _with_field(obj, "fold_tail", fold)
+
+
+def with_stacked_encoders(obj, stack: bool = True):
+    """Set the `stack_image_encoders` field on every fusion def in the tree:
+    the K independent image encoders consuming the same frame (measurement
+    model + gate, virtual sensor + gate) run as ONE channel-stacked pass
+    (models/stacked.py). Exact per-encoder math; params unchanged."""
+    return _with_field(obj, "stack_image_encoders", stack)
