@@ -62,7 +62,7 @@ def log(msg):
 
 
 def bench_jax(batch: int = BATCH, measure_flops: bool = False, bf16: bool = None,
-              fold: bool = False):
+              fold: bool = False, stack: bool = False):
     """Returns (filter_steps_per_sec, flops_per_filter_step | None)."""
     import jax
     import jax.numpy as jnp
@@ -94,6 +94,11 @@ def bench_jax(batch: int = BATCH, measure_flops: bool = False, bf16: bool = None
 
         defn = with_fold_tail(defn, True)
         log("[bench] folded encoder tail enabled")
+    if stack:
+        from multimodalfilter_tpu.utils.precision import with_stacked_encoders
+
+        defn = with_stacked_encoders(defn, True)
+        log("[bench] stacked multi-instance encoders enabled")
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 5)
@@ -345,7 +350,78 @@ def bench_torch() -> float:
     return steps_per_sec
 
 
-def bench_train(batch: int = 32, bf16: bool = False) -> float:
+# ---------------------------------------------------------------------------
+# Pinned torch-CPU baseline (VERDICT r2 weak #6: the in-process baseline moves
+# with host-CPU contention, so round-over-round vs_baseline deltas were
+# meaningless). The first run on a given host records the measured baseline +
+# a host fingerprint into BASELINE_PIN.json; later runs report vs_baseline
+# against the PIN (stable) and the live re-measure separately.
+# ---------------------------------------------------------------------------
+
+_PIN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BASELINE_PIN.json")
+
+
+def _host_fingerprint() -> dict:
+    import platform
+
+    model = None
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return {
+        "machine": platform.machine(),
+        "cpu_count": os.cpu_count(),
+        "cpu_model": model,
+    }
+
+
+def pinned_baseline(live_sps):
+    """Returns (pinned_steps_per_sec | None). Records the pin on first use;
+    re-pin by deleting BASELINE_PIN.json or setting BENCH_REPIN=1."""
+    config = {"batch": BATCH, "particles": PARTICLES,
+              "torch_steps": TORCH_STEPS}
+    if os.environ.get("BENCH_REPIN", "0") != "1" and os.path.exists(_PIN_PATH):
+        try:
+            with open(_PIN_PATH) as f:
+                pin = json.load(f)
+            if pin.get("config") == config:
+                if pin.get("host") != _host_fingerprint():
+                    log("[bench] WARNING: baseline pin from a different host "
+                        "fingerprint; vs_baseline uses it anyway (delete "
+                        "BASELINE_PIN.json to re-pin)")
+                return float(pin["torch_cpu_steps_per_sec"])
+            log("[bench] baseline pin config mismatch; re-pinning")
+        except (OSError, ValueError, KeyError) as exc:
+            log(f"[bench] unreadable baseline pin ({exc}); re-pinning")
+    if live_sps is None:
+        return None
+    pin = {
+        "torch_cpu_steps_per_sec": round(live_sps, 1),
+        "config": config,
+        "host": _host_fingerprint(),
+        "pinned_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "note": "architecture-equivalent torch-CPU PF baseline (bench.py);"
+                " vs_baseline divides by this constant so round-over-round"
+                " deltas are host-contention-independent",
+    }
+    try:
+        with open(_PIN_PATH, "w") as f:
+            json.dump(pin, f, indent=2)
+        log(f"[bench] pinned torch-CPU baseline {live_sps:.0f} steps/s "
+            f"-> {_PIN_PATH}")
+    except OSError as exc:
+        log(f"[bench] could not write baseline pin: {exc}")
+    return live_sps
+
+
+def bench_train(batch: int = 32, bf16: bool = False,
+                measure_flops: bool = False):
     """Secondary metric (stderr): e2e BPTT training throughput — filter-steps
     (batch x unrolled timesteps x optimizer steps) per second through the
     epoch-scan train path. Default config matches the reference curriculum
@@ -427,6 +503,26 @@ def bench_train(batch: int = 32, bf16: bool = False) -> float:
 
     idx = jnp.arange(steps * batch).reshape(steps, batch) % n_rows
     params, opt_state = model.params, tx.init(model.params)
+    flops_per_step = None
+    if measure_flops:
+        try:
+            # Cost-analyze the epoch BEFORE the timed runs (donated buffers).
+            ca = (
+                epoch.lower(params, opt_state, data, idx, key)
+                .compile()
+                .cost_analysis()
+            )
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops_per_step = float(ca["flops"]) / (
+                steps * batch * (seq_len - 1)
+            )
+            log(
+                f"[bench] train XLA cost analysis: {flops_per_step / 1e6:.2f}"
+                " MFLOPs / train filter-step (fwd+bwd+opt)"
+            )
+        except Exception as exc:
+            log(f"[bench] train cost analysis unavailable: {exc}")
     params, opt_state, loss = epoch(params, opt_state, data, idx, key)
     float(loss)
     t0 = time.perf_counter()
@@ -440,7 +536,7 @@ def bench_train(batch: int = 32, bf16: bool = False) -> float:
         f"[bench] train e2e: {elapsed * 1e3:.1f} ms / {steps} opt-steps "
         f"(L={seq_len}, B={batch}) -> {train_sps:.0f} train filter-steps/s"
     )
-    return train_sps
+    return train_sps, flops_per_step
 
 
 def main():
@@ -490,6 +586,22 @@ def main():
         except Exception as exc:
             log(f"[bench] saturated bench failed: {exc}")
 
+    # Stacked multi-instance encoders, fp32 (VERDICT r2 next #1): the image
+    # measurement model's CNN and the gate's run as one channel-stacked pass.
+    # Measured against `value_saturated` (same config minus stacking).
+    sat_stack_sps = None
+    if (
+        os.environ.get("BENCH_SATURATED", "1") == "1"
+        and os.environ.get("BENCH_STACK", "1") == "1"
+        and not over_budget("stacked fp32 config")
+    ):
+        try:
+            sat_stack_sps, _ = bench_jax(
+                batch=SAT_BATCH, fold=fold_default, stack=True
+            )
+        except Exception as exc:
+            log(f"[bench] stacked fp32 bench failed: {exc}")
+
     # bf16 serving config: encoder compute in bfloat16 (params fp32;
     # training-quality validated on hardware — IMPLEMENTATION_NOTES round 2).
     # Reported separately so the headline value stays fp32 like-for-like.
@@ -504,8 +616,8 @@ def main():
         except Exception as exc:
             log(f"[bench] bf16 serving bench failed: {exc}")
 
-    # Best production stack: bf16 + folded encoder tail (+ Pallas, the
-    # default) — the recommended serving config (docs/PERFORMANCE.md).
+    # Best production stack: bf16 + folded tail + stacked encoders
+    # (+ Pallas, the default) — the MMF_TPU_SERVING=1 configuration.
     sat_best_sps = None
     if (
         os.environ.get("BENCH_SATURATED", "1") == "1"
@@ -513,33 +625,49 @@ def main():
         and not over_budget("best serving config")
     ):
         try:
-            sat_best_sps, _ = bench_jax(batch=SAT_BATCH, bf16=True, fold=True)
+            sat_best_sps, _ = bench_jax(
+                batch=SAT_BATCH, bf16=True, fold=True,
+                stack=os.environ.get("BENCH_STACK", "1") == "1",
+            )
         except Exception as exc:
             log(f"[bench] best serving bench failed: {exc}")
 
     train_sps = None
     if not over_budget("train bench"):
         try:
-            train_sps = bench_train()
+            train_sps, _ = bench_train()
         except Exception as exc:
             log(f"[bench] train bench failed: {exc}")
     # Saturated training config (B=256, bf16 encoders — RMSE-parity
-    # validated): the production-throughput analog of value_saturated.
-    train_sat_sps = None
+    # validated): the production-throughput analog of value_saturated, with
+    # its cost-analysis MFU (fwd+bwd+opt FLOPs — VERDICT r2 next #10).
+    train_sat_sps, train_mfu = None, None
     if (
         os.environ.get("BENCH_TRAIN_SATURATED", "1") == "1"
         and not over_budget("saturated train bench")
     ):
         try:
-            train_sat_sps = bench_train(batch=256, bf16=True)
+            train_sat_sps, train_flops = bench_train(
+                batch=256, bf16=True, measure_flops=True
+            )
+            if train_flops:
+                train_mfu = train_sat_sps * train_flops / PEAK_FLOPS
+                log(
+                    f"[bench] train MFU (B=256 bf16): {train_mfu * 100:.2f}% "
+                    f"of {PEAK_FLOPS / 1e12:.0f} TFLOP/s peak"
+                )
         except Exception as exc:
             log(f"[bench] saturated train bench failed: {exc}")
     try:
-        torch_sps = bench_torch()
+        torch_live_sps = bench_torch()
     except Exception as exc:  # torch baseline is best-effort
         log(f"[bench] torch baseline failed: {exc}")
-        torch_sps = None
-    vs_baseline = (jax_sps / torch_sps) if torch_sps else None
+        torch_live_sps = None
+    # vs_baseline divides by the PINNED baseline (stable across rounds);
+    # the live re-measure is reported alongside for drift visibility.
+    torch_pinned_sps = pinned_baseline(torch_live_sps)
+    vs_baseline = (jax_sps / torch_pinned_sps) if torch_pinned_sps else None
+    vs_baseline_live = (jax_sps / torch_live_sps) if torch_live_sps else None
     print(
         json.dumps(
             {
@@ -547,8 +675,20 @@ def main():
                 "value": round(jax_sps, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "vs_baseline_live": (
+                    round(vs_baseline_live, 2) if vs_baseline_live else None
+                ),
+                "baseline_pinned_steps_per_sec": (
+                    round(torch_pinned_sps, 1) if torch_pinned_sps else None
+                ),
+                "baseline_live_steps_per_sec": (
+                    round(torch_live_sps, 1) if torch_live_sps else None
+                ),
                 "value_saturated": round(sat_sps, 1) if sat_sps else None,
                 "saturated_batch": SAT_BATCH if sat_sps else None,
+                "value_saturated_stacked": (
+                    round(sat_stack_sps, 1) if sat_stack_sps else None
+                ),
                 "value_saturated_bf16": (
                     round(sat_bf16_sps, 1) if sat_bf16_sps else None
                 ),
@@ -560,6 +700,7 @@ def main():
                 "train_steps_per_sec_saturated_bf16": (
                     round(train_sat_sps, 1) if train_sat_sps else None
                 ),
+                "train_mfu": round(train_mfu, 4) if train_mfu else None,
             }
         )
     )
