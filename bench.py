@@ -586,21 +586,24 @@ def main():
         except Exception as exc:
             log(f"[bench] saturated bench failed: {exc}")
 
-    # Stacked multi-instance encoders, fp32 (VERDICT r2 next #1): the image
-    # measurement model's CNN and the gate's run as one channel-stacked pass.
-    # Measured against `value_saturated` (same config minus stacking).
+    # Stacked multi-instance encoders (VERDICT r2 next #1) — the A/B that
+    # REFUTED the hypothesis: stacking regresses every measured regime
+    # (bf16 N=512: 474k -> 323k; fp32/bf16 N=16: -22%/-13%; fp32 N>=256
+    # OOMs at 31.5G — XLA expands grouped convs to block-diagonal full
+    # convs and the live activation set doubles). The bf16 config below
+    # keeps the refutation measured per round; BENCH_STACK=0 skips it.
     sat_stack_sps = None
     if (
         os.environ.get("BENCH_SATURATED", "1") == "1"
         and os.environ.get("BENCH_STACK", "1") == "1"
-        and not over_budget("stacked fp32 config")
+        and not over_budget("stacked A/B config")
     ):
         try:
             sat_stack_sps, _ = bench_jax(
-                batch=SAT_BATCH, fold=fold_default, stack=True
+                batch=SAT_BATCH, bf16=True, fold=True, stack=True
             )
         except Exception as exc:
-            log(f"[bench] stacked fp32 bench failed: {exc}")
+            log(f"[bench] stacked A/B bench failed: {exc}")
 
     # bf16 serving config: encoder compute in bfloat16 (params fp32;
     # training-quality validated on hardware — IMPLEMENTATION_NOTES round 2).
@@ -616,8 +619,9 @@ def main():
         except Exception as exc:
             log(f"[bench] bf16 serving bench failed: {exc}")
 
-    # Best production stack: bf16 + folded tail + stacked encoders
-    # (+ Pallas, the default) — the MMF_TPU_SERVING=1 configuration.
+    # Best production stack: bf16 + folded tail (+ Pallas, the default) —
+    # the MMF_TPU_SERVING=1 configuration. Stacked encoders are excluded:
+    # measured regression (see the A/B above).
     sat_best_sps = None
     if (
         os.environ.get("BENCH_SATURATED", "1") == "1"
@@ -625,10 +629,7 @@ def main():
         and not over_budget("best serving config")
     ):
         try:
-            sat_best_sps, _ = bench_jax(
-                batch=SAT_BATCH, bf16=True, fold=True,
-                stack=os.environ.get("BENCH_STACK", "1") == "1",
-            )
+            sat_best_sps, _ = bench_jax(batch=SAT_BATCH, bf16=True, fold=True)
         except Exception as exc:
             log(f"[bench] best serving bench failed: {exc}")
 
@@ -686,7 +687,9 @@ def main():
                 ),
                 "value_saturated": round(sat_sps, 1) if sat_sps else None,
                 "saturated_batch": SAT_BATCH if sat_sps else None,
-                "value_saturated_stacked": (
+                # bf16+fold+STACKED A/B vs value_saturated_best (bf16+fold):
+                # the recorded refutation of multi-instance stacking.
+                "value_saturated_stacked_bf16": (
                     round(sat_stack_sps, 1) if sat_stack_sps else None
                 ),
                 "value_saturated_bf16": (

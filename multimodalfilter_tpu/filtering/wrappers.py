@@ -144,10 +144,10 @@ class StatefulFilter:
 
         # MMF_TPU_SERVING=1: the one production-serving switch — applies the
         # validated serving stack (Pallas PF kernels + bf16 encoder compute
-        # + folded encoder tail + stacked multi-instance encoders, the
-        # bench.py `value_saturated_best` configuration) in one knob. Each
-        # per-knob env still overrides individually (e.g. MMF_TPU_SERVING=1
-        # MMF_TPU_BF16=0 serves fp32 with the rest of the stack on).
+        # + folded encoder tail, the bench.py `value_saturated_best`
+        # configuration) in one knob. Each per-knob env still overrides
+        # individually (e.g. MMF_TPU_SERVING=1 MMF_TPU_BF16=0 serves fp32
+        # with the rest of the stack on).
         serving = os.environ.get("MMF_TPU_SERVING", "0") == "1"
 
         def knob(name: str, default_on: bool) -> bool:
@@ -184,8 +184,12 @@ class StatefulFilter:
         # MMF_TPU_STACK_ENC=1: run the K independent image encoders that
         # consume the same frame (measurement model + gate / virtual sensor
         # + gate) as ONE channel-stacked pass (models/stacked.py). Exact
-        # per-encoder math; params unchanged.
-        if knob("MMF_TPU_STACK_ENC", serving):
+        # per-encoder math; params unchanged. NOT part of the serving
+        # default: measured on TPU v5e it REGRESSES throughput in every
+        # regime (XLA expands grouped convs to block-diagonal full convs,
+        # 2x FLOPs, and doubles the live activation set — fp32 N>=256 OOMs;
+        # see docs/PERFORMANCE.md "Multi-instance encoder stacking").
+        if knob("MMF_TPU_STACK_ENC", False):
             from ..utils.precision import with_stacked_encoders
 
             definition = with_stacked_encoders(definition, True)

@@ -34,6 +34,17 @@ Eligibility: every stacked instance must share the encoder architecture
 (units, spanning_avg_pool, dtype, fold_tail). Mixed configs (e.g. the push
 task's spanning-pool measurement encoder vs its flatten-variant gate) fall
 back to the per-instance path automatically.
+
+MEASURED OUTCOME (round 3, TPU v5e — keep before enabling): stacking
+REGRESSES serving throughput in every regime (bf16+fold N=512:
+474k -> 323k steps/s; fp32 N>=256 OOMs from the doubled live activation
+set; N=16 -13..-22%). XLA expands grouped convs to block-diagonal full
+convs (2x FLOPs), and output lanes that do not share an input reduction
+cannot share MXU passes, so only conv1 (truly shared input) wins — too
+small to matter. Full analysis: docs/PERFORMANCE.md "Multi-instance
+encoder stacking (measured refutation)". The module stays as the recorded
+experiment behind MMF_TPU_STACK_ENC=1 (default off, excluded from
+MMF_TPU_SERVING).
 """
 
 from __future__ import annotations

@@ -249,21 +249,23 @@ def test_mixed_configs_fall_back():
 
 
 def test_serving_switch_composes_stack(monkeypatch):
-    """MMF_TPU_SERVING=1 applies the full stack via the def-tree rewrites,
-    and the composed rewrite equals the hand-stacked one; per-knob envs
-    override individually."""
+    """MMF_TPU_SERVING=1 applies the full serving stack (Pallas+bf16+fold —
+    stacked encoders are excluded: measured TPU regression, see
+    docs/PERFORMANCE.md) via the def-tree rewrites, and the composed
+    rewrite equals the hand-stacked one; per-knob envs override
+    individually."""
     from crossmodal.door_models import DoorCrossmodalParticleFilter
     from multimodalfilter_tpu.utils.precision import (
         with_compute_dtype,
         with_fold_tail,
-        with_stacked_encoders,
     )
 
     monkeypatch.setenv("MMF_TPU_SERVING", "1")
     model = DoorCrossmodalParticleFilter()
     defn = model.definition
     assert defn.pallas_resample
-    assert defn.measurement_model.stack_image_encoders
+    # Stacking is NOT in the serving default (measured regression)...
+    assert not defn.measurement_model.stack_image_encoders
     mm_net = defn.measurement_model.measurement_models[0].net
     assert mm_net.dtype == jnp.bfloat16
     assert mm_net.fold_tail
@@ -276,11 +278,16 @@ def test_serving_switch_composes_stack(monkeypatch):
     hand = dataclasses.replace(plain, pallas_resample=True)
     hand = with_compute_dtype(hand, jnp.bfloat16)
     hand = with_fold_tail(hand, True)
-    hand = with_stacked_encoders(hand, True)
     assert hand == defn
 
-    # Individual override: serving minus bf16.
+    # ...but the explicit env still enables it on top of serving.
     monkeypatch.setenv("MMF_TPU_SERVING", "1")
+    monkeypatch.setenv("MMF_TPU_STACK_ENC", "1")
+    stacked = DoorCrossmodalParticleFilter().definition
+    assert stacked.measurement_model.stack_image_encoders
+    monkeypatch.delenv("MMF_TPU_STACK_ENC")
+
+    # Individual override: serving minus bf16.
     monkeypatch.setenv("MMF_TPU_BF16", "0")
     model2 = DoorCrossmodalParticleFilter()
     net2 = model2.definition.measurement_model.measurement_models[0].net
