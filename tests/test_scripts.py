@@ -109,3 +109,57 @@ def test_cmekf_curriculum_structure():
     # Named optimizers used for the per-child phases.
     opt_names = {kw.get("optimizer_name") for _, kw in th.calls}
     assert {"image_ekf", "force_ekf", "freeze_ekf"} <= opt_names
+
+
+def test_parity_rehearsal(tmp_path, monkeypatch):
+    """The one-command parity rehearsal (scripts/parity_rehearsal.py)
+    dry-runs end-to-end on synthetic stand-ins: dataset resolution through
+    the cache, one e2e train phase, repeated eval, stats table persisted.
+    With egress, the same command downloads the real HDF5s instead
+    (cache.py resolution order)."""
+    import json
+
+    monkeypatch.setenv("MMF_TPU_SYNTHESIZE_DATA", "1")
+    monkeypatch.setenv("MMF_TPU_SYNTH_TRAJ", "4")
+    monkeypatch.setenv("MMF_TPU_SYNTH_T", "40")
+    monkeypatch.setenv("MMF_TPU_EVAL_DEVICE_THROUGHPUT", "0")
+    monkeypatch.chdir(tmp_path)  # Buddy's default dirs land in tmp
+
+    import os
+
+    import multimodalfilter_tpu.data.cache as cache_mod
+
+    repo_root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    sys.path.insert(0, os.path.join(repo_root, "scripts"))
+    try:
+        import parity_rehearsal
+
+        out_json = tmp_path / "stats.json"
+        stats = parity_rehearsal.main([
+            "--task", "door",
+            "--model-type", "DoorKalmanFilter",  # deterministic + cheap
+            "--cache-dir", str(tmp_path / "cache"),
+            "--epochs", "1",
+            "--subsequence-length", "8",
+            "--batch-size", "8",
+            "--eval-repeats", "2",
+            "--output-json", str(out_json),
+        ])
+    finally:
+        cache_mod._cache_path = None
+
+    assert out_json.exists()
+    persisted = json.loads(out_json.read_text())
+    for key in ("theta_rmse_deg_mean", "x_rmse_cm_mean", "y_rmse_cm_mean"):
+        assert key in stats and key in persisted
+        assert persisted[key] == stats[key]
+    import numpy as np
+
+    assert np.isfinite(stats["theta_rmse_deg_mean"])
+    # The rehearsal checkpoint + metadata were persisted via Buddy.
+    assert (tmp_path / "checkpoints" / "parity_rehearsal"
+            / "parity_rehearsal.ckpt").exists()
+    meta = json.loads(
+        (tmp_path / "metadata" / "parity_rehearsal.json").read_text()
+    )
+    assert "rehearsal_eval_stats" in meta
