@@ -43,6 +43,22 @@ def _model_parts(model):
     return root, path, model.definition
 
 
+def _strip_serving_transforms(defn):
+    """Remove serving-only execution transforms from a def before building a
+    TRAIN program. The folded encoder tail and stacked multi-instance
+    encoders are param-identical rewrites of the forward math, so training
+    without them is exact — and it avoids (a) rebuilding + differentiating
+    the composed fold weight every optimizer step (measured -5% e2e at
+    B=32) and (b) the grouped-conv stacking regression ever entering a
+    train program. Serving/eval paths (StatefulFilter.forward_loop,
+    eval_helpers) keep the transforms; checkpoints are unaffected either
+    way. This is what makes MMF_TPU_SERVING=1 / MMF_TPU_FOLD_ENC=1 safe to
+    leave on across a whole train+eval CLI run."""
+    from ..utils.precision import with_fold_tail, with_stacked_encoders
+
+    return with_stacked_encoders(with_fold_tail(defn, False), False)
+
+
 def _sub_params(params, path: str):
     return get_by_path(params, path) if path else params
 
@@ -188,7 +204,7 @@ def train_pf_measurement(
     of states perturbed around ground truth (covariance from the dataset).
     Perturbations + targets are generated on device each step."""
     root, path, defn = _model_parts(model)
-    mm = defn.measurement_model
+    mm = _strip_serving_transforms(defn.measurement_model)
     mm_path = f"{path}.measurement_model" if path else "measurement_model"
     enabled = root._enabled_tuple
     cov = jnp.asarray(dataset.covariance)
@@ -232,7 +248,7 @@ def train_virtual_sensor(
     optimizer_name="train_virtual_sensor",
 ):
     root, path, defn = _model_parts(model)
-    vs = defn.virtual_sensor_model
+    vs = _strip_serving_transforms(defn.virtual_sensor_model)
     vs_path = f"{path}.virtual_sensor_model" if path else "virtual_sensor_model"
     enabled = root._enabled_tuple
 
@@ -279,6 +295,7 @@ def train_e2e(
         "mesh (batch-DP) and pipeline_mesh (time-pipeline) are exclusive"
     )
     root, path, defn = _model_parts(model)
+    defn = _strip_serving_transforms(defn)
     enabled = root._enabled_tuple
     seq_len = dataset.subsequence_length
     state_dim = defn.state_dim

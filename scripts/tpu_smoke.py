@@ -145,6 +145,118 @@ def smoke_pallas_chunked():
     np.testing.assert_allclose(np.asarray(est), np.asarray(ref_est), atol=1e-5)
 
 
+@check("pallas chunked kernel at M=8192/16384 (large-M band) + timing")
+def smoke_pallas_chunked_large():
+    """Round-2 verdict weak #7: the 1024<M<=16384 chunked band had no
+    on-chip run above the M=2048 smoke. Parity at the band's top (8k, 16k)
+    plus one timed e2e PF loop at M=8192 (numbers land in stderr and
+    docs/PERFORMANCE.md)."""
+    import functools
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalfilter_tpu.ops.pallas_pf import pf_update_and_resample
+
+    for m in (8192, 16384):
+        particles, lw, ll, uniforms = _pf_inputs(2, m, seed=4)
+        p2, lw2, est = pf_update_and_resample(lw, ll, particles, uniforms)
+        lw_new, ref_est = _jnp_update(lw, ll, particles)
+        idx = _ref_indices(lw_new, uniforms)
+        ref_parts = np.asarray(
+            jnp.take_along_axis(particles, idx[:, :, None], axis=1)
+        )
+        p2_np = np.asarray(p2)
+        # Contract at the chunked band's top on HARDWARE: per-draw indices
+        # may flip at fp32 cumsum tie boundaries (weights ~1/M at M>=8k;
+        # the on-chip cumsum reassociates differently than the kernel's
+        # chunk-partial order — measured 6/16384 draws at M=8192; CPU
+        # interpret mode and M<=2048 on chip are bitwise). Assert the flip
+        # fraction is tiny, every flipped draw is still a VALID particle of
+        # its batch row, and the weight update/estimate are exact.
+        mismatch = np.any(p2_np != ref_parts, axis=-1)  # (N, M)
+        frac = mismatch.mean()
+        assert frac < 1e-3, f"M={m}: {frac:.2e} draws differ (not tie-level)"
+        src = np.asarray(particles)
+        for nrow, mrow in zip(*np.nonzero(mismatch)):
+            drawn = p2_np[nrow, mrow]
+            assert (src[nrow] == drawn).all(axis=-1).any(), (
+                f"M={m}: draw ({nrow},{mrow}) is not a source particle"
+            )
+        np.testing.assert_allclose(
+            np.asarray(est), np.asarray(ref_est), atol=1e-5
+        )
+        print(
+            f"  [large-M] M={m}: parity ok "
+            f"({int(mismatch.sum())}/{mismatch.size} tie-boundary flips)",
+            file=sys.stderr, flush=True,
+        )
+
+    # Timed: flagship PF e2e at M=8192 (chunked kernel inside the scan).
+    import dataclasses
+
+    from crossmodal.door_models import DoorCrossmodalParticleFilter
+
+    n, t, m, chain = 4, 25, 8192, 4
+    model = DoorCrossmodalParticleFilter()
+    defn = dataclasses.replace(
+        model.definition, num_particles_eval=m, pallas_resample=True
+    )
+    obs, controls, belief, key = _flagship_batch_for(defn, model.params, n, t)
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chained(params, belief, obs, ctrl, key, reps: int):
+        def body(carry, i):
+            b, acc = carry
+            eps = i.astype(jnp.float32) * 1e-12
+            obs_i = jax.tree_util.tree_map(lambda v: v + eps, obs)
+            nb, est = defn.forward_loop(
+                params, b, obs_i, ctrl + eps, jax.random.fold_in(key, i),
+                train=False, enabled=(True, True),
+            )
+            return (nb, acc + est.sum()), None
+
+        (_, acc), _ = jax.lax.scan(
+            body, (belief, jnp.float32(0)), jnp.arange(reps)
+        )
+        return acc
+
+    float(chained(model.params, belief, obs, controls, key, chain))
+    float(chained(model.params, belief, obs, controls, jax.random.PRNGKey(9), chain))
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        float(chained(model.params, belief, obs, controls,
+                      jax.random.PRNGKey(10 + i), chain))
+        times.append(time.perf_counter() - t0)
+    sps = t * n * chain / min(times)
+    print(
+        f"  [large-M] M={m}: {sps:.0f} filter-steps/s "
+        f"({sps * m / 1e6:.1f}M particle-updates/s, chunked kernel)",
+        file=sys.stderr, flush=True,
+    )
+
+
+def _flagship_batch_for(defn, params, n, t, seed=0):
+    """(obs_seq, controls_seq, belief, key) for a flagship def at (n, t)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 5)
+    obs = {
+        "image": jax.random.normal(ks[0], (t, n, 32, 32)),
+        "gripper_pos": jax.random.normal(ks[1], (t, n, 3)),
+        "gripper_sensors": jax.random.normal(ks[2], (t, n, 7)),
+    }
+    controls = jax.random.normal(ks[3], (t, n, 7))
+    mean = jnp.zeros((n, 3))
+    cov = jnp.broadcast_to(jnp.eye(3) * 0.1, (n, 3, 3))
+    belief = defn.initialize_beliefs(params, ks[4], mean, cov, train=False)
+    return obs, controls, belief, key
+
+
 @check("pallas train-mode custom-VJP kernel")
 def smoke_pallas_train():
     import jax
@@ -352,6 +464,7 @@ def main():
     smoke_pallas_multinomial()
     smoke_pallas_soft()
     smoke_pallas_chunked()
+    smoke_pallas_chunked_large()
     smoke_pallas_train()
     smoke_bf16()
     smoke_fold_enc()

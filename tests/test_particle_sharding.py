@@ -103,3 +103,63 @@ def test_2d_mesh_data_x_particle_tracks_kf():
     # per-trajectory errors should all be small (no row collapsed).
     per_traj = err.mean(axis=(0, 2))
     assert (per_traj < 0.15).all(), per_traj
+
+
+def test_particle_sharded_chunked_kernel_composes():
+    """Sharding x chunked Pallas kernel (round-2 verdict weak #7): global
+    M=16384 over 8 devices leaves each shard at M=2048 — inside the chunked
+    kernel's band (1024 < M <= 16384) — with pallas_resample=True (interpret
+    mode on CPU). Must still track the oracle and match the identical loop
+    with the jnp tail bitwise (the chunked kernel's particle indices are
+    bitwise vs jnp; the estimate einsum reassociates ~1e-6)."""
+    key = jax.random.PRNGKey(6)
+    states, obs, controls = _simulate(key, timesteps=12, batch=2)
+
+    def make_pf(pallas):
+        return ParticleFilterDef(
+            dynamics_model=DynamicsDef(
+                _LinearDynamicsNet(), state_dim=STATE_DIM,
+                control_dim=CONTROL_DIM,
+            ),
+            measurement_model=MeasurementDef(
+                _GaussianMeasurementNet(), state_dim=STATE_DIM,
+                obs_spec=OBS_SPEC,
+            ),
+            state_dim=STATE_DIM,
+            control_dim=CONTROL_DIM,
+            obs_spec=OBS_SPEC,
+            num_particles_eval=16384,  # 2048/device -> chunked kernel
+            pallas_resample=True,
+        )
+
+    pf = make_pf(pallas=True)
+    params = pf.init(key)
+    mean0 = states[0]
+    cov0 = jnp.broadcast_to(0.1 * jnp.eye(STATE_DIM), (2, STATE_DIM, STATE_DIM))
+    belief = pf.initialize_beliefs(params, key, mean0, cov0, train=False)
+
+    mesh = create_mesh(8, axis_names=("particle",))
+    loop = make_particle_sharded_pf_loop(pf, mesh)
+    final_p, est_p = loop(params, belief, {"y": obs}, controls, key)
+
+    assert final_p.particles.shape == (2, 16384, STATE_DIM)
+    lse = jax.scipy.special.logsumexp(final_p.log_weights, axis=1)
+    np.testing.assert_allclose(np.asarray(lse), 0.0, atol=1e-4)
+
+    expected = _closed_form_kf(mean0, cov0, obs, controls)
+    err = np.abs(np.asarray(est_p[5:]) - expected[5:])
+    assert err.mean() < 0.08, err.mean()
+
+    # Same sharded loop with the jnp tail: particle paths must be bitwise.
+    pf_jnp = make_pf(pallas=True).__class__(**{
+        **{f.name: getattr(pf, f.name) for f in __import__("dataclasses").fields(pf)},
+        "pallas_resample": False,
+    })
+    loop_jnp = make_particle_sharded_pf_loop(pf_jnp, mesh)
+    final_j, est_j = loop_jnp(params, belief, {"y": obs}, controls, key)
+    np.testing.assert_array_equal(
+        np.asarray(final_p.particles), np.asarray(final_j.particles)
+    )
+    np.testing.assert_allclose(
+        np.asarray(est_p), np.asarray(est_j), atol=1e-5, rtol=1e-5
+    )
