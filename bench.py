@@ -506,20 +506,35 @@ def bench_train(batch: int = 32, bf16: bool = False,
     flops_per_step = None
     if measure_flops:
         try:
-            # Cost-analyze the epoch BEFORE the timed runs (donated buffers).
+            # Cost-analyze ONE optimizer step, not the epoch: XLA's cost
+            # analysis counts a While (the epoch's lax.scan over optimizer
+            # steps) body once regardless of trip count, which would
+            # under-report epoch FLOPs by `steps`x (observed exactly 16x).
+            # The single-step program still has the L-timestep filter scan
+            # inside, but its body is the cheap PF update — the dominant
+            # encoder fwd+bwd passes are scan-hoisted and counted fully.
+            @jax.jit
+            def one_step(params, opt_state, batch_data, key):
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, batch_data, key
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state, loss
+
+            batch0 = jax.tree_util.tree_map(
+                lambda a: a[jnp.arange(batch) % a.shape[0]], data
+            )
             ca = (
-                epoch.lower(params, opt_state, data, idx, key)
+                one_step.lower(params, opt_state, batch0, key)
                 .compile()
                 .cost_analysis()
             )
             if isinstance(ca, list):
                 ca = ca[0]
-            flops_per_step = float(ca["flops"]) / (
-                steps * batch * (seq_len - 1)
-            )
+            flops_per_step = float(ca["flops"]) / (batch * (seq_len - 1))
             log(
                 f"[bench] train XLA cost analysis: {flops_per_step / 1e6:.2f}"
-                " MFLOPs / train filter-step (fwd+bwd+opt)"
+                " MFLOPs / train filter-step (fwd+bwd+opt, one-step program)"
             )
         except Exception as exc:
             log(f"[bench] train cost analysis unavailable: {exc}")
