@@ -173,3 +173,126 @@ def make_particle_sharded_pf_loop(
         return type(belief)(particles, log_w), estimates
 
     return loop
+
+
+def make_particle_sharded_pf_train_loop(
+    defn, mesh, axis_name: str = "particle", data_axis_name: str = None,
+    enabled=None,
+):
+    """Differentiable (BPTT-capable) particle-sharded PF loop — massive-M
+    TRAINING, the gradient story the eval loop above deliberately lacks.
+
+    Train-mode PF semantics have no resampling (torchfilter's
+    ``resample=None`` default — gradients flow through the weights), which
+    makes M-sharding a *pure execution transform*: per step the shards run
+    local dynamics + measurement trunks and meet only at one pmax + two
+    psum on the particle axis (global weight normalize + estimate), all of
+    which reverse-mode differentiates (psum/pmax transposes are
+    collectives themselves). The dynamics noise is SLICED FROM THE GLOBAL
+    key stream (each shard generates the full (N, M, D) normal draw and
+    takes its slice — counter-based PRNG, so this is cheap and exactly the
+    single-device draw), so outputs AND parameter gradients match
+    ``defn.forward_loop(train=True)`` up to fp reassociation
+    (tests/test_particle_sharding.py pins this).
+
+    With ``data_axis_name`` the mesh is 2-D (data x particle) and the batch
+    axis shards too — note the per-row key fold then decorrelates noise
+    from the single-mesh run (statistical, not bitwise, equivalence).
+
+    Returns loop(params, belief, obs_seq, ctrl_seq, key) ->
+    (final_belief, estimates (T, N, D)); differentiable in params/belief.
+    """
+    num_shards = mesh.shape[axis_name]
+
+    def per_device_loop(params, particles, log_weights, obs_seq, ctrl_seq, key):
+        my_shard = jax.lax.axis_index(axis_name)
+        if data_axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(data_axis_name))
+        n, mp, d = particles.shape
+        m_global = mp * num_shards
+
+        t = jax.tree_util.tree_leaves(ctrl_seq)[0].shape[0]
+        flat_obs = jax.tree_util.tree_map(
+            lambda x: x.reshape((t * n,) + x.shape[2:]), obs_seq
+        )
+        features = defn.measurement_model.encode_observations(
+            params["measurement_model"], flat_obs, enabled=enabled
+        )
+        features_seq = jax.tree_util.tree_map(
+            lambda x: x.reshape((t, n) + x.shape[1:]), features
+        )
+        keys = jax.random.split(key, t)
+
+        def step(carry, inputs):
+            particles, log_w = carry
+            features_t, ctrl_t, key_t = inputs
+            k_noise, _ = jax.random.split(key_t)
+
+            # --- local dynamics propagation, GLOBAL noise stream sliced ---
+            flat = particles.reshape(n * mp, d)
+            ctrl_rep = jnp.repeat(ctrl_t, mp, axis=0)
+            pred, tril = defn.dynamics_model.apply(
+                params["dynamics_model"], flat, ctrl_rep
+            )
+            eps_global = jax.random.normal(
+                k_noise, (n, m_global, d), pred.dtype
+            )
+            eps = jax.lax.dynamic_slice_in_dim(
+                eps_global, my_shard * mp, mp, axis=1
+            ).reshape(n * mp, d)
+            particles = (pred + jnp.einsum("bij,bj->bi", tril, eps)).reshape(
+                n, mp, d
+            )
+
+            # --- local log-liks + GLOBAL normalize + estimate ---
+            log_liks = defn.measurement_model.log_likelihoods_from_features(
+                params["measurement_model"], particles, features_t,
+                enabled=enabled,
+            )
+            log_w = log_w + log_liks
+            # The global max is a pure numerical stabilizer — the normalized
+            # result is invariant to it, so its gradient contribution
+            # cancels exactly. stop_gradient makes that structural (jax has
+            # no transpose rule for pmax; this is the standard logsumexp
+            # treatment, same as jax.scipy.special.logsumexp's own max).
+            w_max = jax.lax.pmax(
+                jax.lax.stop_gradient(jnp.max(log_w, axis=1)), axis_name
+            )  # (N,)
+            exp_w = jnp.exp(log_w - w_max[:, None])
+            total = jax.lax.psum(jnp.sum(exp_w, axis=1), axis_name)
+            log_w = log_w - w_max[:, None] - jnp.log(total)[:, None]
+            estimate = jax.lax.psum(
+                jnp.einsum("nm,nmd->nd", jnp.exp(log_w), particles), axis_name
+            )
+            # No resampling: train-mode BPTT keeps the weight recursion.
+            return (particles, log_w), estimate
+
+        (particles, log_w), estimates = jax.lax.scan(
+            step, (particles, log_weights), (features_seq, ctrl_seq, keys)
+        )
+        return particles, log_w, estimates
+
+    batch_axis = data_axis_name
+    particle_spec = PartitionSpec(batch_axis, axis_name, None)
+    weight_spec = PartitionSpec(batch_axis, axis_name)
+    replicated = PartitionSpec()
+    seq_spec = PartitionSpec(None, batch_axis) if batch_axis else replicated
+    est_spec = PartitionSpec(None, batch_axis) if batch_axis else replicated
+
+    sharded = jax.shard_map(
+        per_device_loop,
+        mesh=mesh,
+        in_specs=(replicated, particle_spec, weight_spec, seq_spec,
+                  seq_spec, replicated),
+        out_specs=(particle_spec, weight_spec, est_spec),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def loop(params, belief, obs_seq, ctrl_seq, key):
+        particles, log_w, estimates = sharded(
+            params, belief.particles, belief.log_weights, obs_seq, ctrl_seq, key
+        )
+        return type(belief)(particles, log_w), estimates
+
+    return loop

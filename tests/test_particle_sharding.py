@@ -163,3 +163,74 @@ def test_particle_sharded_chunked_kernel_composes():
     np.testing.assert_allclose(
         np.asarray(est_p), np.asarray(est_j), atol=1e-5, rtol=1e-5
     )
+
+
+def test_particle_sharded_train_loop_matches_plain_bptt():
+    """The M-sharded TRAIN loop (no resampling; global noise stream sliced
+    per shard) is a pure execution transform of forward_loop(train=True):
+    estimates, final weights, AND parameter gradients match the
+    single-device loop within fp reassociation."""
+    from multimodalfilter_tpu.parallel.particle_sharding import (
+        make_particle_sharded_pf_train_loop,
+    )
+
+    key = jax.random.PRNGKey(7)
+    states, obs, controls = _simulate(key, timesteps=10, batch=2)
+    pf = ParticleFilterDef(
+        dynamics_model=DynamicsDef(
+            _LinearDynamicsNet(), state_dim=STATE_DIM, control_dim=CONTROL_DIM
+        ),
+        measurement_model=MeasurementDef(
+            _GaussianMeasurementNet(), state_dim=STATE_DIM, obs_spec=OBS_SPEC
+        ),
+        state_dim=STATE_DIM,
+        control_dim=CONTROL_DIM,
+        obs_spec=OBS_SPEC,
+        num_particles_train=64,  # 8 per device on the 8-device mesh
+    )
+    params = pf.init(key)
+    mean0 = states[0]
+    cov0 = jnp.broadcast_to(0.1 * jnp.eye(STATE_DIM), (2, STATE_DIM, STATE_DIM))
+    belief = pf.initialize_beliefs(params, key, mean0, cov0, train=True)
+
+    mesh = create_mesh(8, axis_names=("particle",))
+    loop = make_particle_sharded_pf_train_loop(pf, mesh)
+
+    def loss_sharded(p):
+        _, est = loop(p, belief, {"y": obs}, controls, key)
+        return jnp.mean((est - states[1:]) ** 2)
+
+    def loss_plain(p):
+        _, est = pf.forward_loop(
+            p, belief, {"y": obs}, controls, key, train=True
+        )
+        return jnp.mean((est - states[1:]) ** 2)
+
+    # Forward equivalence.
+    bel_s, est_s = loop(params, belief, {"y": obs}, controls, key)
+    bel_p, est_p = pf.forward_loop(
+        params, belief, {"y": obs}, controls, key, train=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(est_s), np.asarray(est_p), atol=1e-5, rtol=1e-5
+    )
+    # log-weights accumulate T steps of pmax/psum-vs-logsumexp
+    # reassociation (~3e-7 relative on O(100) magnitudes).
+    np.testing.assert_allclose(
+        np.asarray(bel_s.log_weights), np.asarray(bel_p.log_weights),
+        atol=1e-4, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(bel_s.particles), np.asarray(bel_p.particles), atol=1e-6
+    )
+
+    # Gradient equivalence (BPTT through the collectives).
+    ls, gs = jax.value_and_grad(loss_sharded)(params)
+    lp, gp = jax.value_and_grad(loss_plain)(params)
+    np.testing.assert_allclose(float(ls), float(lp), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gs), jax.tree_util.tree_leaves(gp)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3
+        )
