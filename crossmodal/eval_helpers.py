@@ -48,7 +48,7 @@ _eval_batch_cache = {}
 
 
 def configure(*, buddy: Buddy, task, dataset_args: Dict, mesh=None,
-              pipeline_mesh=None, pipeline_microbatches: int = 2):
+              pipeline_mesh=None, pipeline_microbatches=None):
     """`mesh` optionally shards eval trajectory batches data-parallel over a
     jax.sharding.Mesh (the eval batch axis N is the natural DP axis; GSPMD
     partitions the jitted forward_loop from the input shardings alone).
@@ -57,7 +57,9 @@ def configure(*, buddy: Buddy, task, dataset_args: Dict, mesh=None,
     pipeline parallelism (the TIME axis sharded over the mesh's "pipe"
     axis, belief relayed stage->stage — parallel/temporal_pipeline.py);
     T is padded to the stage count internally. Mutually exclusive with
-    `mesh` (batch-DP)."""
+    `mesh` (batch-DP). `pipeline_microbatches=None` auto-sizes from the
+    eval batch (largest divisor of N up to 8 — GPipe efficiency rises
+    with micro)."""
     assert issubclass(task, tasks.Task)
     assert mesh is None or pipeline_mesh is None, (
         "mesh (batch-DP) and pipeline_mesh (time-pipeline) are exclusive"
@@ -215,7 +217,7 @@ def _device_throughput(observations, controls, states, chain: int = 4) -> float:
                  jnp.zeros((pad,) + ctrl_rest.shape[1:], ctrl_rest.dtype)],
                 axis=0,
             )
-        pipe_fn = filter_model._get_pipeline_fn()
+        pipe_fn = filter_model._get_pipeline_fn(batch=n)
 
         def loop_fn(params, b, obs, ctrl, key):
             return pipe_fn(params, b, obs, ctrl, key)
@@ -227,7 +229,7 @@ def _device_throughput(observations, controls, states, chain: int = 4) -> float:
                 params, b, obs, ctrl, key, train=False, enabled=enabled
             )
 
-    cache_key = ("chained_loop", filter_model.loop_cache_key(), t, n)
+    cache_key = ("chained_loop", filter_model.loop_cache_key(batch=n), t, n)
     if cache_key not in _eval_batch_cache:
 
         @functools.partial(jax.jit, static_argnames=("reps",))
@@ -327,7 +329,7 @@ def run_eval(measurement_initialize=False, eval_dynamics=False) -> Dict[str, flo
         # metrics). Skipped when this (filter, mode, pipeline-config) tuple
         # already compiled — loop_cache_key() resolves to "pipeloop" when a
         # pipeline is configured, so pipelined repeats don't double-roll.
-        warm_key = filter_model.loop_cache_key()
+        warm_key = filter_model.loop_cache_key(batch=n)
         if warm_key not in filter_model._fn_cache:
             saved_belief = filter_model.belief
             np.asarray(

@@ -208,18 +208,46 @@ class StatefulFilter:
         )
 
     # -- mode / config --------------------------------------------------------
-    def use_pipeline(self, mesh, axis_name: str = "pipe", num_microbatches: int = 2):
+    def use_pipeline(self, mesh, axis_name: str = "pipe",
+                     num_microbatches=None):
         """Route forward_loop through temporal pipeline parallelism: the time
         axis sharded over `mesh`'s `axis_name` with the belief carry relayed
         stage->stage (parallel/temporal_pipeline.py). T is zero-padded up to
         a multiple of the stage count and the padded estimates are dropped;
         note the STORED belief then reflects the padded rollout (harmless
         for eval, where beliefs are re-initialized per run). Pass mesh=None
-        to disable."""
+        to disable.
+
+        num_microbatches=None (default) auto-sizes from the batch at call
+        time: the largest divisor of N up to 8 — GPipe efficiency is
+        micro/(stages + micro - 1), so micro=8 at 8 stages reaches 53%
+        where the old fixed default of 2 sat at 22%."""
         if mesh is None:
             self._pipeline = None
         else:
-            self._pipeline = (mesh, axis_name, int(num_microbatches))
+            self._pipeline = (
+                mesh, axis_name,
+                None if num_microbatches is None else int(num_microbatches),
+            )
+
+    @staticmethod
+    def _auto_microbatches(n: int, cap: int = 8) -> int:
+        """Largest divisor of n that is <= cap (>=1)."""
+        for m in range(min(cap, n), 0, -1):
+            if n % m == 0:
+                return m
+        return 1
+
+    def _resolved_micro(self, batch: Optional[int]) -> int:
+        mesh, axis_name, micro = self._pipeline
+        if micro is not None:
+            return micro
+        assert batch is not None, (
+            "auto-sized pipeline microbatches need the batch size; pass "
+            "batch=N to loop_cache_key()/_get_pipeline_fn() or set "
+            "num_microbatches explicitly"
+        )
+        return self._auto_microbatches(batch)
 
     def train(self, mode: bool = True):
         self._training = mode
@@ -306,16 +334,19 @@ class StatefulFilter:
             self._fn_cache[key] = maker()
         return self._fn_cache[key]
 
-    def loop_cache_key(self):
+    def loop_cache_key(self, batch: Optional[int] = None):
         """The _fn_cache key the NEXT forward_loop call will compile under —
         "pipeloop" (+ pipeline extras) when a pipeline is configured, plain
         "loop" otherwise. Eval warm-up checks must probe THIS key (probing
         "loop" while the pipeline is configured silently double-rolls every
-        repeat)."""
+        repeat). `batch` is needed only when the pipeline's microbatch
+        count is auto-sized (num_microbatches=None)."""
         if self._pipeline is not None:
-            mesh, axis_name, micro = self._pipeline
+            mesh, axis_name, _ = self._pipeline
             return self._cache_key(
-                "pipeloop", (axis_name, micro, _mesh_fingerprint(mesh))
+                "pipeloop",
+                (axis_name, self._resolved_micro(batch),
+                 _mesh_fingerprint(mesh)),
             )
         return self._cache_key("loop")
 
@@ -411,10 +442,11 @@ class StatefulFilter:
         )
         return estimates
 
-    def _get_pipeline_fn(self):
+    def _get_pipeline_fn(self, batch: Optional[int] = None):
         """The compiled pipelined-loop callable for the current config:
         fn(params, belief, obs_seq, ctrl_seq, key) with T divisible by the
-        stage count (callers pad — see _pipelined_forward_loop)."""
+        stage count (callers pad — see _pipelined_forward_loop). `batch`
+        resolves the auto-sized microbatch count."""
         from ..parallel.temporal_pipeline import (
             make_pipelined_filter_loop,
             make_pipelined_pf_loop,
@@ -422,7 +454,8 @@ class StatefulFilter:
         from .pf import ParticleFilterDef
 
         defn, train, enabled = self.definition, self._training, self._enabled_tuple
-        mesh, axis_name, micro = self._pipeline
+        mesh, axis_name, _ = self._pipeline
+        micro = self._resolved_micro(batch)
 
         def maker():
             make = (
@@ -444,10 +477,10 @@ class StatefulFilter:
         with T zero-padded to the stage count and padded estimates dropped."""
         import jax.numpy as jnp
 
-        mesh, axis_name, micro = self._pipeline
+        mesh, axis_name, _ = self._pipeline
         stages = mesh.shape[axis_name]
-        fn = self._get_pipeline_fn()
         controls = to_device(controls)
+        fn = self._get_pipeline_fn(batch=controls.shape[1])
         observations = to_device(observations)
         t = controls.shape[0]
         pad = (-t) % stages

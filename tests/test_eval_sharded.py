@@ -145,3 +145,34 @@ def test_pipelined_eval_attribution(env):
 
     # Restore the non-pipelined facade state for any later tests.
     eh.configure(buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS)
+
+
+def test_pipeline_auto_microbatches(env):
+    """pipeline_microbatches=None auto-sizes from the eval batch: largest
+    divisor of N up to 8 (N=16 here -> micro=8, GPipe efficiency 8/15 vs
+    2/9 at the old fixed default)."""
+    from crossmodal.tasks import DoorTask
+    from multimodalfilter_tpu.filtering.wrappers import StatefulFilter
+
+    assert StatefulFilter._auto_microbatches(16) == 8
+    assert StatefulFilter._auto_microbatches(12) == 6
+    assert StatefulFilter._auto_microbatches(7) == 7
+    assert StatefulFilter._auto_microbatches(5) == 5
+    assert StatefulFilter._auto_microbatches(1) == 1
+
+    buddy = env
+    eh = crossmodal.eval_helpers
+    eh.configure(
+        buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS,
+        pipeline_mesh=create_mesh(8, axis_names=("pipe",)),
+    )
+    model = buddy.model
+    model.eval()
+    states, _, _ = eh._get_eval_batch()
+    n = states.shape[1]
+    key = model.loop_cache_key(batch=n)
+    # cache key tail = (..., axis_name, micro, mesh_fingerprint)
+    assert key[-2] == StatefulFilter._auto_microbatches(n) == 8
+    res = eh.run_eval()
+    assert res["filter_steps_per_sec"] > 0
+    eh.configure(buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS)
