@@ -601,25 +601,6 @@ def main():
         except Exception as exc:
             log(f"[bench] saturated bench failed: {exc}")
 
-    # Stacked multi-instance encoders (VERDICT r2 next #1) — the A/B that
-    # REFUTED the hypothesis: stacking regresses every measured regime
-    # (bf16 N=512: 474k -> 323k; fp32/bf16 N=16: -22%/-13%; fp32 N>=256
-    # OOMs at 31.5G — XLA expands grouped convs to block-diagonal full
-    # convs and the live activation set doubles). The bf16 config below
-    # keeps the refutation measured per round; BENCH_STACK=0 skips it.
-    sat_stack_sps = None
-    if (
-        os.environ.get("BENCH_SATURATED", "1") == "1"
-        and os.environ.get("BENCH_STACK", "1") == "1"
-        and not over_budget("stacked A/B config")
-    ):
-        try:
-            sat_stack_sps, _ = bench_jax(
-                batch=SAT_BATCH, bf16=True, fold=True, stack=True
-            )
-        except Exception as exc:
-            log(f"[bench] stacked A/B bench failed: {exc}")
-
     # bf16 serving config: encoder compute in bfloat16 (params fp32;
     # training-quality validated on hardware — IMPLEMENTATION_NOTES round 2).
     # Reported separately so the headline value stays fp32 like-for-like.
@@ -674,6 +655,28 @@ def main():
                 )
         except Exception as exc:
             log(f"[bench] saturated train bench failed: {exc}")
+
+    # Stacked multi-instance encoders (VERDICT r2 next #1) — the A/B that
+    # REFUTED the hypothesis: stacking regresses every measured regime
+    # (bf16 N=512: 474k -> 323k; fp32/bf16 N=16: -22%/-13%; fp32 N>=256
+    # OOMs at 31.5G — XLA expands grouped convs to block-diagonal full
+    # convs and the live activation set doubles). This config keeps the
+    # refutation measured per round; BENCH_STACK=0 skips it. It runs LAST,
+    # after every headline serving + train config, so budget pressure never
+    # sacrifices a headline number to a known-regressing experiment.
+    sat_stack_sps = None
+    if (
+        os.environ.get("BENCH_SATURATED", "1") == "1"
+        and os.environ.get("BENCH_STACK", "1") == "1"
+        and not over_budget("stacked A/B config")
+    ):
+        try:
+            sat_stack_sps, _ = bench_jax(
+                batch=SAT_BATCH, bf16=True, fold=True, stack=True
+            )
+        except Exception as exc:
+            log(f"[bench] stacked A/B bench failed: {exc}")
+
     try:
         torch_live_sps = bench_torch()
     except Exception as exc:  # torch baseline is best-effort

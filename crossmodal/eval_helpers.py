@@ -84,9 +84,12 @@ def log_eval(measurement_initialize=False) -> None:
                 buddy.log_scalar(key, value)
 
 
-def run_eval_stats(*eval_args, **eval_kwargs) -> Dict[str, float]:
+def run_eval_stats(*eval_args, repeats: int = 20, **eval_kwargs) -> Dict[str, float]:
+    """The reference's 20-repeat stochastic eval table
+    (/root/reference/crossmodal/eval_helpers.py:219-243); `repeats`
+    parameterizes the count for dry-runs (scripts/parity_rehearsal.py)."""
     all_results: Dict[str, List[float]] = {}
-    for _ in range(20):
+    for _ in range(repeats):
         results = run_eval(*eval_args, **eval_kwargs)
         results.pop("raw_rmse")
         for k, v in results.items():

@@ -45,18 +45,28 @@ def _model_parts(model):
 
 def _strip_serving_transforms(defn):
     """Remove serving-only execution transforms from a def before building a
-    TRAIN program. The folded encoder tail and stacked multi-instance
-    encoders are param-identical rewrites of the forward math, so training
-    without them is exact — and it avoids (a) rebuilding + differentiating
-    the composed fold weight every optimizer step (measured -5% e2e at
-    B=32) and (b) the grouped-conv stacking regression ever entering a
-    train program. Serving/eval paths (StatefulFilter.forward_loop,
-    eval_helpers) keep the transforms; checkpoints are unaffected either
-    way. This is what makes MMF_TPU_SERVING=1 / MMF_TPU_FOLD_ENC=1 safe to
-    leave on across a whole train+eval CLI run."""
-    from ..utils.precision import with_fold_tail, with_stacked_encoders
+    TRAIN program: the folded encoder tail, stacked multi-instance
+    encoders, AND the bf16 compute dtype. Fold/stack are param-identical
+    rewrites of the forward math, so training without them is exact — and
+    it avoids (a) rebuilding + differentiating the composed fold weight
+    every optimizer step (measured -5% e2e at B=32) and (b) the
+    grouped-conv stacking regression ever entering a train program. The
+    compute dtype resets to fp32 because bf16 encoders would change
+    training NUMERICS, not just the schedule — bench_train opts into bf16
+    training explicitly on its own loop. Serving/eval paths
+    (StatefulFilter.forward_loop, eval_helpers) keep all three transforms;
+    checkpoints are unaffected either way. This is what makes
+    MMF_TPU_SERVING=1 (= Pallas + bf16 + fold) safe to leave on across a
+    whole train+eval CLI run: training under the switch is BITWISE plain
+    training."""
+    from ..utils.precision import (
+        with_compute_dtype,
+        with_fold_tail,
+        with_stacked_encoders,
+    )
 
-    return with_stacked_encoders(with_fold_tail(defn, False), False)
+    defn = with_stacked_encoders(with_fold_tail(defn, False), False)
+    return with_compute_dtype(defn, None)
 
 
 def _sub_params(params, path: str):
@@ -365,10 +375,17 @@ def train_e2e(
         "controls": jax.device_put(dataset.controls),
         "obs": jax.device_put(dataset.observations),
     }
+    # Mesh IDENTITY (fingerprint, not a bool / object id) must key the
+    # cached epoch fn — a second call with a different mesh would otherwise
+    # silently reuse the program compiled for the old one.
+    from ..filtering.wrappers import _mesh_fingerprint
+
     cache_extra = (
         "e2e", path, enabled, seq_len, batch_size, measurement_initialize,
-        initial_cov_scale, mesh is not None,
-        None if pipeline_mesh is None else ("pipe", pipeline_microbatches),
+        initial_cov_scale,
+        None if mesh is None else _mesh_fingerprint(mesh),
+        None if pipeline_mesh is None
+        else ("pipe", pipeline_microbatches, _mesh_fingerprint(pipeline_mesh)),
     )
     if mesh is not None:
         from ..parallel.data_parallel import make_sharded_epoch_fn
@@ -383,6 +400,15 @@ def train_e2e(
                 loss_fn, opt["tx"], frozen, mesh
             )
         step = buddy._jit_cache[cache_key]
+        # Params / opt state may be committed to a DIFFERENT mesh from an
+        # earlier sharded call (e.g. a 4-device warm-up then the full mesh);
+        # jit refuses mixed device sets, so re-place them replicated on this
+        # mesh (no-op copy when already there).
+        replicated = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()
+        )
+        root.params = jax.device_put(root.params, replicated)
+        opt["state"] = jax.device_put(opt["state"], replicated)
     else:
         step = _make_step(buddy, root, loss_fn, optimizer_name, cache_extra)
 

@@ -133,23 +133,7 @@ def main(argv=None):
     # 4. The reference's 20-repeat stochastic eval table.
     print(f"[rehearsal] running {args.eval_repeats}-repeat eval ...",
           flush=True)
-    if args.eval_repeats == 20:
-        stats = eval_helpers.run_eval_stats()
-    else:  # smaller repeat counts for dry-runs
-        import numpy as np
-
-        all_results = {}
-        for _ in range(args.eval_repeats):
-            results = eval_helpers.run_eval()
-            results.pop("raw_rmse")
-            for k, v in results.items():
-                all_results.setdefault(k, []).append(v)
-        stats = {}
-        for k, v in all_results.items():
-            stats[f"{k}_mean"] = float(np.mean(v))
-            stats[f"{k}_std"] = float(np.std(v))
-        for k, v in stats.items():
-            print(f"{k}: {v}")
+    stats = eval_helpers.run_eval_stats(repeats=args.eval_repeats)
 
     buddy.add_metadata({
         "rehearsal_eval_stats": stats,

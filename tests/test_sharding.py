@@ -159,3 +159,58 @@ def test_graft_dryrun():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
+
+
+def test_train_e2e_epoch_cache_keys_on_mesh_identity(tmp_path):
+    """The cached epoch fn must be keyed on mesh IDENTITY (fingerprint), not
+    just `mesh is not None`: a second train_e2e call with a DIFFERENT mesh
+    must compile a new epoch fn, not silently reuse the program built for
+    the old one (same id-keying bug class as the round-2 advisor's
+    wrappers.py finding)."""
+    from crossmodal.door_models import DoorParticleFilter
+    from multimodalfilter_tpu.data.datasets import SubsequenceDataset
+    from multimodalfilter_tpu.experiments import Buddy
+    from multimodalfilter_tpu.train import train_e2e
+    from multimodalfilter_tpu.types import Trajectory
+
+    rng_np = np.random.default_rng(11)
+    t = 8
+    trajs = [
+        Trajectory(
+            states=rng_np.standard_normal((t, 3)).astype(np.float32),
+            observations={
+                "image": rng_np.standard_normal((t, 32, 32)).astype(np.float32),
+                "gripper_pos": rng_np.standard_normal((t, 3)).astype(np.float32),
+                "gripper_sensors": rng_np.standard_normal((t, 7)).astype(
+                    np.float32
+                ),
+            },
+            controls=rng_np.standard_normal((t, 7)).astype(np.float32),
+        )
+        for _ in range(4)
+    ]
+    dataset = SubsequenceDataset(trajs, subsequence_length=3)
+    model = DoorParticleFilter()
+    buddy = Buddy(
+        "mesh_key_test", model,
+        checkpoint_dir=str(tmp_path / "c"), metadata_dir=str(tmp_path / "m"),
+        log_dir=str(tmp_path / "l"), verbose=False,
+    )
+
+    train_e2e(buddy, model, dataset, epochs=1, batch_size=8,
+              mesh=create_mesh(4))
+    keys_after_first = [k for k in buddy._jit_cache if k[0] == "epoch"]
+    assert len(keys_after_first) == 1
+
+    train_e2e(buddy, model, dataset, epochs=1, batch_size=8,
+              mesh=create_mesh(8))
+    keys_after_second = [k for k in buddy._jit_cache if k[0] == "epoch"]
+    assert len(keys_after_second) == 2, (
+        "a different mesh must not hit the cached epoch fn"
+    )
+
+    # Same mesh shape again -> cache hit (fingerprint is stable across
+    # equal Mesh objects, so no recompile storm either).
+    train_e2e(buddy, model, dataset, epochs=1, batch_size=8,
+              mesh=create_mesh(8))
+    assert len([k for k in buddy._jit_cache if k[0] == "epoch"]) == 2

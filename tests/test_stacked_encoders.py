@@ -331,11 +331,15 @@ def test_serving_stack_rollout_matches_plain():
 
 
 def test_training_strips_serving_transforms(monkeypatch, tmp_path):
-    """Training programs strip the serving execution transforms (fold/stack
-    are param-identical forward rewrites): a model built under the serving
-    knobs trains BITWISE identically to a plain-built model — so leaving
-    MMF_TPU_FOLD_ENC/MMF_TPU_SERVING on across a train+eval CLI run cannot
-    regress or perturb training (round-2 verdict next #6)."""
+    """Training programs strip the serving execution transforms — the
+    folded tail and stacked encoders (param-identical forward rewrites) AND
+    the bf16 compute dtype (a numerics change): a model built under the
+    full MMF_TPU_SERVING=1 switch trains BITWISE identically to a
+    plain-built model — so leaving the switch on across a train+eval CLI
+    run cannot regress or perturb training (round-2 verdict next #6). The
+    one knob NOT stripped is the Pallas fused train kernel (a train-path
+    optimization, +14% BPTT on TPU, fp-reassociation-level numerics;
+    MMF_TPU_PALLAS=0 here keeps the comparison bitwise on the CPU env)."""
     from multimodalfilter_tpu.data.datasets import SubsequenceDataset
     from multimodalfilter_tpu.experiments import Buddy
     from multimodalfilter_tpu.train import train_e2e
@@ -361,11 +365,13 @@ def test_training_strips_serving_transforms(monkeypatch, tmp_path):
 
     def run(serving_on):
         if serving_on:
-            monkeypatch.setenv("MMF_TPU_FOLD_ENC", "1")
+            monkeypatch.setenv("MMF_TPU_SERVING", "1")
             monkeypatch.setenv("MMF_TPU_STACK_ENC", "1")
+            monkeypatch.setenv("MMF_TPU_PALLAS", "0")
         else:
-            monkeypatch.delenv("MMF_TPU_FOLD_ENC", raising=False)
-            monkeypatch.delenv("MMF_TPU_STACK_ENC", raising=False)
+            for var in ("MMF_TPU_SERVING", "MMF_TPU_STACK_ENC",
+                        "MMF_TPU_PALLAS"):
+                monkeypatch.delenv(var, raising=False)
         from crossmodal.door_models import DoorCrossmodalParticleFilter
 
         model = DoorCrossmodalParticleFilter()
@@ -374,6 +380,7 @@ def test_training_strips_serving_transforms(monkeypatch, tmp_path):
             mm = model.definition.measurement_model
             assert mm.stack_image_encoders
             assert mm.measurement_models[0].net.fold_tail
+            assert mm.measurement_models[0].net.dtype == jnp.bfloat16
         d = tmp_path / f"serving_{serving_on}"
         buddy = Buddy(
             "strip_test", model,
