@@ -24,13 +24,20 @@ from multimodalfilter_tpu.experiments import Buddy
 Task = crossmodal.tasks.DoorTask
 
 
-def main():
+def main(argv=None):
+    from multimodalfilter_tpu.parallel.cli import (
+        add_parallelism_args,
+        meshes_from_args,
+    )
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--experiment-name", type=str, required=True)
     parser.add_argument("--checkpoint-label", type=str, default=None)
     parser.add_argument("--save", action="store_true")
     parser.add_argument("--measurement_init", action="store_true")
-    args = parser.parse_args()
+    add_parallelism_args(parser)
+    args = parser.parse_args(argv)
+    mesh, pipeline_mesh = meshes_from_args(args)
 
     set_cache_path(crossmodal.__path__[0] + "/../.cache")
 
@@ -43,7 +50,9 @@ def main():
     buddy.load_checkpoint(label=args.checkpoint_label)
 
     crossmodal.eval_helpers.configure(
-        buddy=buddy, task=Task, dataset_args=dataset_args
+        buddy=buddy, task=Task, dataset_args=dataset_args,
+        mesh=mesh, pipeline_mesh=pipeline_mesh,
+        pipeline_microbatches=args.pipeline_microbatches,
     )
     results = crossmodal.eval_helpers.run_eval_stats(
         measurement_initialize=args.measurement_init

@@ -31,7 +31,12 @@ from multimodalfilter_tpu.utils import get_git_commit_hash, pdb_safety_net
 Task = crossmodal.tasks.PushTask
 
 
-def main():
+def main(argv=None):
+    from multimodalfilter_tpu.parallel.cli import (
+        add_parallelism_args,
+        meshes_from_args,
+    )
+
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--model-type", type=str, required=True, choices=Task.model_types.keys()
@@ -39,7 +44,9 @@ def main():
     parser.add_argument("--experiment-name", type=str, required=True)
     parser.add_argument("--notes", type=str, default="(none)")
     Task.add_dataset_arguments(parser)
-    args = parser.parse_args()
+    add_parallelism_args(parser)
+    args = parser.parse_args(argv)
+    mesh, pipeline_mesh = meshes_from_args(args)
 
     model_type = args.model_type
     dataset_args = Task.get_dataset_args(args)
@@ -66,9 +73,21 @@ def main():
     )
 
     train_helpers = crossmodal.train_helpers
-    train_helpers.configure(buddy=buddy, trajectories=train_trajectories)
+    # --pipeline-stages applies to the EVAL passes only: the reference
+    # curriculum's subsequence lengths (2/4/8/16 -> 1/3/7/15 BPTT steps)
+    # never divide a stage count, so pipelined BPTT can't run the reference
+    # curriculum — DP (--data-parallel) is the training-side axis here.
+    # (train_helpers.train_e2e(pipeline_mesh=...) remains available for
+    # custom curricula with compatible lengths.)
+    train_helpers.configure(
+        buddy=buddy, trajectories=train_trajectories, mesh=mesh,
+    )
     eval_helpers = crossmodal.eval_helpers
-    eval_helpers.configure(buddy=buddy, task=Task, dataset_args=dataset_args)
+    eval_helpers.configure(
+        buddy=buddy, task=Task, dataset_args=dataset_args,
+        mesh=mesh, pipeline_mesh=pipeline_mesh,
+        pipeline_microbatches=args.pipeline_microbatches,
+    )
 
     run_curriculum(filter_model, buddy, train_helpers, eval_helpers)
 

@@ -163,3 +163,73 @@ def test_parity_rehearsal(tmp_path, monkeypatch):
         (tmp_path / "metadata" / "parity_rehearsal.json").read_text()
     )
     assert "rehearsal_eval_stats" in meta
+
+
+def test_eval_cli_parallelism_flags(tmp_path, monkeypatch):
+    """--pipeline-stages / --data-parallel on the eval CLI route run_eval
+    through the temporal pipeline / batch-DP mesh (parallel/cli.py): the
+    user-reachable surface for the multi-chip eval paths. Exercised on the
+    8-device CPU mesh with synthetic data."""
+    import json
+
+    monkeypatch.setenv("MMF_TPU_SYNTHESIZE_DATA", "1")
+    monkeypatch.setenv("MMF_TPU_SYNTH_TRAJ", "8")
+    monkeypatch.setenv("MMF_TPU_SYNTH_T", "24")
+    monkeypatch.setenv("MMF_TPU_EVAL_DEVICE_THROUGHPUT", "0")
+    monkeypatch.chdir(tmp_path)
+
+    import numpy as np
+
+    import crossmodal
+    from crossmodal.tasks import DoorTask
+    from multimodalfilter_tpu.experiments import Buddy
+
+    model = DoorTask.model_types["DoorKalmanFilter"]()
+    buddy = Buddy("cli_par_test", model)
+    buddy.set_metadata({
+        "model_type": "DoorKalmanFilter",
+        "dataset_args": {},
+    })
+    buddy.save_checkpoint()
+
+    import eval_door
+
+    # Temporal pipeline over 8 stages (micro auto-sizes from N=8).
+    eval_door.main([
+        "--experiment-name", "cli_par_test", "--pipeline-stages", "8",
+        "--save",
+    ])
+    meta = json.loads(
+        (tmp_path / "metadata" / "cli_par_test.json").read_text()
+    )
+    stats_pipe = meta["eval_results_stats"]
+    assert np.isfinite(stats_pipe["theta_rmse_deg_mean"])
+
+    # Batch-DP over 8 devices (N=8 shards one trajectory per device).
+    eval_door.main([
+        "--experiment-name", "cli_par_test", "--data-parallel", "8",
+        "--save",
+    ])
+    meta = json.loads(
+        (tmp_path / "metadata" / "cli_par_test.json").read_text()
+    )
+    stats_dp = meta["eval_results_stats"]
+    # Same checkpoint, same (deterministic KF) rollout: the two parallel
+    # paths must agree on the metric to float tolerance.
+    np.testing.assert_allclose(
+        stats_dp["theta_rmse_deg_mean"], stats_pipe["theta_rmse_deg_mean"],
+        rtol=1e-4,
+    )
+
+    # The two axes are mutually exclusive.
+    with pytest.raises(SystemExit):
+        eval_door.main([
+            "--experiment-name", "cli_par_test",
+            "--data-parallel", "8", "--pipeline-stages", "8",
+        ])
+
+    # Leave the module-level eval config pointing at a live buddy for any
+    # later tests in this process.
+    crossmodal.eval_helpers.configure(
+        buddy=buddy, task=DoorTask, dataset_args={},
+    )
