@@ -152,6 +152,16 @@ def _get_eval_batch():
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
+            n_traj = controls.shape[1]
+            n_dev = mesh.shape["data"]
+            if n_traj % n_dev != 0:
+                raise ValueError(
+                    f"data-parallel eval needs the eval batch (N={n_traj} "
+                    f"trajectories) divisible by the mesh size ({n_dev}); "
+                    f"pass a mesh over a divisor of N (--data-parallel) or "
+                    f"evaluate unsharded"
+                )
+
             def put(v):
                 spec = PartitionSpec(None, "data", *([None] * (v.ndim - 2)))
                 return jax.device_put(v, NamedSharding(mesh, spec))
@@ -297,6 +307,14 @@ def run_eval(measurement_initialize=False, eval_dynamics=False) -> Dict[str, flo
         if init_key not in _eval_batch_cache:
             cov = np.tile(np.eye(state_dim, dtype=np.float32) * 0.1, (n, 1, 1))
             if mesh is not None:
+                n_dev = mesh.shape["data"]
+                if n % n_dev != 0:
+                    raise ValueError(
+                        f"data-parallel eval needs the eval batch "
+                        f"(N={n} trajectories) divisible by the mesh size "
+                        f"({n_dev}); pass a mesh over a divisor of N "
+                        f"(--data-parallel) or evaluate unsharded"
+                    )
                 from jax.sharding import NamedSharding, PartitionSpec
 
                 def put0(v):

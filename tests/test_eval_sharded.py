@@ -176,3 +176,23 @@ def test_pipeline_auto_microbatches(env):
     res = eh.run_eval()
     assert res["filter_steps_per_sec"] > 0
     eh.configure(buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS)
+
+
+def test_sharded_eval_uneven_batch_raises(env):
+    """An eval batch not divisible by the DP mesh must fail with a clear
+    message (device_put's raw divisibility error names none of this).
+    The fixture's eval batch is N=16, so a 5-device mesh can't shard it;
+    the guard fires during batch staging, before any compile."""
+    from crossmodal.tasks import DoorTask
+
+    buddy = env
+    eh = crossmodal.eval_helpers
+    try:
+        eh.configure(
+            buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS,
+            mesh=create_mesh(5),
+        )
+        with pytest.raises(ValueError, match="divisible by the mesh size"):
+            eh.run_eval()
+    finally:
+        eh.configure(buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS)
