@@ -8,10 +8,20 @@ train_door.py:122-124), a clearable dict of named optimizers
 (train_door.py:130,150,158), a JSON metadata store, and TensorBoard-style
 scalar logging.
 
-Checkpoints are flax-msgpack serialized pytrees:
+Checkpoints are flax-msgpack serialized pytrees (the canonical format):
   {"params": <nested dict>, "steps": int, "optimizers": {name: state_dict}}
 Param dict keys mirror torch module paths, so the reference's dotted-path
 surgery addresses our pytrees verbatim.
+
+An opt-in orbax backend (``Buddy(..., checkpoint_backend="orbax")`` or
+``MMF_TPU_CKPT_BACKEND=orbax``) writes the SAME state pytree through
+``orbax.checkpoint.AsyncCheckpointer`` instead: saves return immediately
+(serialization overlaps the next training phase — the write is committed by
+an atomic directory rename, so readers never observe a partial checkpoint)
+and sharded ``jax.Array``s are saved per-shard without a full host gather.
+Reads auto-detect the format per label, so msgpack and orbax checkpoints
+interoperate within one experiment (incl. ``load_checkpoint_module``
+surgery and the latest-checkpoint fallback).
 """
 
 from __future__ import annotations
@@ -41,6 +51,7 @@ class Buddy:
         checkpoint_dir: str = DEFAULT_CHECKPOINT_DIR,
         metadata_dir: str = DEFAULT_METADATA_DIR,
         log_dir: str = DEFAULT_LOG_DIR,
+        checkpoint_backend: Optional[str] = None,
         verbose: bool = True,
     ):
         self.experiment_name = experiment_name
@@ -52,6 +63,15 @@ class Buddy:
         self._optimizer_dict: Dict[str, Any] = {}
         self._steps = 0
         self._logger = MetricLogger(log_dir, experiment_name)
+        backend = checkpoint_backend or os.environ.get(
+            "MMF_TPU_CKPT_BACKEND", "msgpack"
+        )
+        if backend not in ("msgpack", "orbax"):
+            raise ValueError(
+                f"checkpoint_backend must be 'msgpack' or 'orbax', got {backend!r}"
+            )
+        self._checkpoint_backend = backend
+        self._async_checkpointer = None  # lazily built orbax AsyncCheckpointer
 
         os.makedirs(self._experiment_checkpoint_dir, exist_ok=True)
         os.makedirs(metadata_dir, exist_ok=True)
@@ -112,15 +132,42 @@ class Buddy:
     def _experiment_checkpoint_dir(self) -> str:
         return os.path.join(self._checkpoint_dir, self.experiment_name)
 
+    def _checkpoint_base(
+        self, label: Optional[str], experiment_name: Optional[str] = None
+    ) -> str:
+        """Checkpoint path WITHOUT extension; the msgpack file is
+        ``<base>.ckpt``, the orbax directory ``<base>.orbax``."""
+        name = experiment_name or self.experiment_name
+        label = label if label is not None else f"{self._steps:016d}"
+        return os.path.join(self._checkpoint_dir, name, label)
+
     def _checkpoint_path(
         self, label: Optional[str], experiment_name: Optional[str] = None
     ) -> str:
-        name = experiment_name or self.experiment_name
-        label = label if label is not None else f"{self._steps:016d}"
-        return os.path.join(self._checkpoint_dir, name, f"{label}.ckpt")
+        return self._checkpoint_base(label, experiment_name) + ".ckpt"
 
-    def save_checkpoint(self, label: Optional[str] = None) -> str:
-        state = {
+    def _get_async_checkpointer(self):
+        if self._async_checkpointer is None:
+            import atexit
+
+            import orbax.checkpoint as ocp
+
+            self._async_checkpointer = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler()
+            )
+            # An interpreter exit mid-save must not strand a tmp directory:
+            # wait for the commit rename before teardown.
+            atexit.register(self.wait_for_checkpoints)
+        return self._async_checkpointer
+
+    def wait_for_checkpoints(self) -> None:
+        """Block until all in-flight async (orbax) saves are committed.
+        No-op on the msgpack backend or when nothing is in flight."""
+        if self._async_checkpointer is not None:
+            self._async_checkpointer.wait_until_finished()
+
+    def _gather_state(self) -> Dict[str, Any]:
+        return {
             "params": jax.device_get(self.model.params),
             "steps": self._steps,
             "optimizers": {
@@ -128,6 +175,11 @@ class Buddy:
                 for name, opt in self._optimizer_dict.items()
             },
         }
+
+    def save_checkpoint(self, label: Optional[str] = None) -> str:
+        if self._checkpoint_backend == "orbax":
+            return self._save_checkpoint_orbax(label)
+        state = self._gather_state()
         path = self._checkpoint_path(label)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "wb") as f:
@@ -136,25 +188,68 @@ class Buddy:
             print(f"[buddy] saved checkpoint: {path}")
         return path
 
+    def _save_checkpoint_orbax(self, label: Optional[str]) -> str:
+        # Async: device arrays are snapshotted synchronously (so training may
+        # donate/overwrite them immediately), serialization + fsync overlap
+        # whatever runs next, and the final directory rename is atomic.
+        # Unlike the msgpack path, params are handed over WITHOUT a host
+        # gather — sharded jax.Arrays are written shard-by-shard.
+        state = {
+            "params": self.model.params,
+            "steps": self._steps,
+            "optimizers": {
+                name: serialization.to_state_dict(opt["state"])
+                for name, opt in self._optimizer_dict.items()
+            },
+        }
+        path = os.path.abspath(self._checkpoint_base(label) + ".orbax")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        ckptr = self._get_async_checkpointer()
+        ckptr.save(path, state, force=True)
+        if self._verbose:
+            print(f"[buddy] async checkpoint save started: {path}")
+        return path
+
     def _read_checkpoint(
         self, label: Optional[str], experiment_name: Optional[str] = None
     ) -> Dict[str, Any]:
-        path = self._checkpoint_path(label, experiment_name)
-        if not os.path.exists(path) and label is None:
+        # Reads never consult the configured backend: the format is detected
+        # per label so msgpack and orbax checkpoints interoperate.
+        self.wait_for_checkpoints()
+        base = self._checkpoint_base(label, experiment_name)
+        path = base + ".ckpt"
+        orbax_path = base + ".orbax"
+        if not os.path.exists(path) and not os.path.isdir(orbax_path):
+            if label is not None:
+                raise FileNotFoundError(
+                    f"No checkpoint {path} (or {orbax_path})"
+                )
             # Fall back to the most recently written checkpoint (the
-            # reference Buddy's "latest" semantics).
+            # reference Buddy's "latest" semantics), across both formats.
             exp_dir = os.path.join(
                 self._checkpoint_dir, experiment_name or self.experiment_name
             )
             candidates = [
                 os.path.join(exp_dir, p)
                 for p in os.listdir(exp_dir)
-                if p.endswith(".ckpt")
+                if p.endswith(".ckpt") or p.endswith(".orbax")
             ] if os.path.isdir(exp_dir) else []
             assert candidates, f"No checkpoints found in {exp_dir}"
-            path = max(candidates, key=os.path.getmtime)
-        with open(path, "rb") as f:
-            state = serialization.msgpack_restore(f.read())
+            newest = max(candidates, key=os.path.getmtime)
+            if newest.endswith(".orbax"):
+                orbax_path = newest
+                path = ""  # force the orbax branch below
+            else:
+                path = newest
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                state = serialization.msgpack_restore(f.read())
+        else:
+            import orbax.checkpoint as ocp
+
+            with ocp.StandardCheckpointer() as ckptr:
+                state = ckptr.restore(os.path.abspath(orbax_path))
+            path = orbax_path
         if self._verbose:
             print(f"[buddy] read checkpoint: {path}")
         return state
