@@ -45,6 +45,93 @@ def create_mesh(
     return Mesh(np.array(devices).reshape(tuple(shape)), axis_names)
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host enablement: initialize the JAX distributed runtime so
+    `jax.devices()` spans every host in the pod slice and the mesh helpers
+    below build GLOBAL meshes (collectives ride ICI within a slice and DCN
+    across slices — the GSPMD/pjit paths in this package are already
+    global-mesh agnostic, so nothing else changes).
+
+    On TPU pods the three arguments auto-detect from the metadata server;
+    they are exposed for CPU/GPU fleets (or set JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID). Safe to call unconditionally:
+    a no-op when already initialized or when single-process (no coordinator
+    configured anywhere). Returns the process count.
+    """
+    if not jax.distributed.is_initialized():
+        import os
+
+        coordinator_address = coordinator_address or os.environ.get(
+            "JAX_COORDINATOR_ADDRESS"
+        )
+        # Only auto-detect (no explicit coordinator) when the platform can
+        # actually answer — a real TPU pod VM. Tunneled single-chip setups
+        # and CPU runs stay single-process.
+        auto_tpu = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("TPU_WORKER_HOSTNAMES") is not None
+        )
+        if coordinator_address is None and not auto_tpu:
+            return jax.process_count()  # single-process run; nothing to do
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_count()
+
+
+def create_hybrid_mesh(
+    ici_shape: Sequence[int],
+    dcn_shape: Sequence[int],
+    axis_names: Sequence[str],
+) -> Mesh:
+    """Mesh for multi-slice topologies: `ici_shape` axes map onto the chips
+    WITHIN a slice (fast ICI links), `dcn_shape` onto the slice axis
+    (data-center network). Axis i of the mesh has size ici_shape[i] *
+    dcn_shape[i]; keep cross-slice communication on pure-DP axes (gradient
+    psum once per step) and tensor-ish axes (particle/pipe) at dcn=1 so
+    per-timestep collectives never leave a slice.
+
+    Degenerates to a topology-aware single-slice mesh when dcn_shape is all
+    ones, so code written against it runs unchanged on one host/slice.
+    """
+    from jax.experimental import mesh_utils
+
+    assert len(ici_shape) == len(dcn_shape) == len(axis_names), (
+        ici_shape, dcn_shape, axis_names,
+    )
+    if all(d == 1 for d in dcn_shape):
+        devices = mesh_utils.create_device_mesh(tuple(ici_shape))
+    else:
+        devices = mesh_utils.create_hybrid_device_mesh(
+            tuple(ici_shape), dcn_mesh_shape=tuple(dcn_shape)
+        )
+    return Mesh(devices, tuple(axis_names))
+
+
+def global_batch_from_process_local(
+    mesh: Mesh, local_batch, axis_name: str = "data", axis: int = 0
+):
+    """Multi-host input pipeline glue: each process loads only ITS rows of
+    the global batch (global_batch_size / process_count) and this assembles
+    the global sharded array — no cross-host data movement, each shard is
+    backed by the host that loaded it. Works unchanged single-process
+    (the local batch IS the global batch). Pytrees map leaf-wise.
+    """
+    def one(x):
+        spec = [None] * np.ndim(x)
+        spec[axis] = axis_name
+        sharding = NamedSharding(mesh, PartitionSpec(*spec))
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree_util.tree_map(one, local_batch)
+
+
 def data_sharding(mesh: Mesh, ndim: int, axis: int = 0, axis_name: str = "data"):
     """NamedSharding that splits dimension `axis` of an ndim-array over the
     data axis of the mesh."""

@@ -1,0 +1,83 @@
+"""Multi-host enablement helpers (parallel/mesh.py), validated in their
+single-process degenerate forms on the 8-device virtual CPU mesh: the
+hybrid ICI x DCN mesh builder, the process-local -> global batch assembler,
+and the distributed-runtime initializer's single-process no-op path.
+(True multi-host execution needs a pod; these helpers are the documented
+on-ramp and must at minimum be exact no-ops on one host.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodalfilter_tpu.parallel.mesh import (
+    create_hybrid_mesh,
+    create_mesh,
+    global_batch_from_process_local,
+    initialize_distributed,
+)
+
+
+def test_initialize_distributed_single_process_noop():
+    # No coordinator configured anywhere: must not try to initialize the
+    # distributed runtime, and must report one process.
+    assert initialize_distributed() == 1
+    assert not jax.distributed.is_initialized()
+
+
+def test_hybrid_mesh_single_slice_degenerates():
+    mesh = create_hybrid_mesh((8,), (1,), ("data",))
+    assert mesh.shape == {"data": 8}
+    assert set(d.id for d in mesh.devices.flat) == set(
+        d.id for d in create_mesh(8).devices.flat
+    )
+
+
+def test_hybrid_mesh_2d_single_slice():
+    mesh = create_hybrid_mesh((2, 4), (1, 1), ("data", "particle"))
+    assert mesh.shape == {"data": 2, "particle": 4}
+    assert mesh.devices.shape == (2, 4)
+
+
+def test_hybrid_mesh_shape_mismatch_rejected():
+    with pytest.raises(AssertionError):
+        create_hybrid_mesh((8,), (1, 1), ("data",))
+
+
+def test_global_batch_from_process_local_roundtrip():
+    """Single-process: the local batch IS the global batch, sharded over the
+    data axis; values and sharding must both come out right, for pytrees."""
+    mesh = create_mesh(8)
+    local = {
+        "states": np.arange(16 * 3, dtype=np.float32).reshape(16, 3),
+        "obs": {"image": np.ones((16, 4, 4), np.float32)},
+    }
+    out = global_batch_from_process_local(mesh, local)
+    assert out["states"].shape == (16, 3)
+    np.testing.assert_array_equal(np.asarray(out["states"]), local["states"])
+    np.testing.assert_array_equal(
+        np.asarray(out["obs"]["image"]), local["obs"]["image"]
+    )
+    # Sharded over the 8 devices along axis 0 (2 rows per shard).
+    shard_shapes = {s.data.shape for s in out["states"].addressable_shards}
+    assert shard_shapes == {(2, 3)}
+    assert len(out["states"].sharding.device_set) == 8
+
+
+def test_global_batch_feeds_sharded_compute():
+    """The assembled global array must be directly consumable by a jit
+    with data-parallel sharding constraints (no resharding transfer)."""
+    mesh = create_mesh(8)
+    local = np.random.default_rng(0).normal(size=(16, 5)).astype(np.float32)
+    global_arr = global_batch_from_process_local(mesh, local)
+
+    @jax.jit
+    def mean_norm(x):
+        return jnp.mean(jnp.sum(x * x, axis=-1))
+
+    np.testing.assert_allclose(
+        float(mean_norm(global_arr)),
+        float(np.mean(np.sum(local * local, axis=-1))),
+        rtol=1e-6,
+    )
