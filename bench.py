@@ -14,7 +14,7 @@ Prints ONE JSON line:
    "train_steps_per_sec": e2e BPTT training throughput (reference-curriculum
    config B=32),
    "train_steps_per_sec_saturated_bf16": same at the production config
-   (B=256, bf16 encoders)}
+   (B=512, bf16 encoders — the measured train-side saturation point)}
 
 The baseline is an architecture-equivalent PyTorch-CPU implementation of the
 same recursion (dynamics propagation + 2 measurement models + gate +
@@ -426,8 +426,8 @@ def bench_train(batch: int = 32, bf16: bool = False,
     (batch x unrolled timesteps x optimizer steps) per second through the
     epoch-scan train path. Default config matches the reference curriculum
     (B=32, L=16); measured sweep on this chip: fp32 62k @B=32 / 83k @128 /
-    74k @256; bf16 66k / 97k / 105k — so the saturated figure uses
-    bf16 @256."""
+    74k @256; bf16 66k / 97k / 102k @256 / 110k @512 / 108k @1024
+    (benchmarks/train_sweep.py) — so the saturated figure uses bf16 @512."""
     import dataclasses
 
     import jax
@@ -638,9 +638,12 @@ def main():
             train_sps, _ = bench_train()
         except Exception as exc:
             log(f"[bench] train bench failed: {exc}")
-    # Saturated training config (B=256, bf16 encoders — RMSE-parity
+    # Saturated training config (B=512, bf16 encoders — RMSE-parity
     # validated): the production-throughput analog of value_saturated, with
     # its cost-analysis MFU (fwd+bwd+opt FLOPs — VERDICT r2 next #10).
+    # B=512 is the measured train-side saturation point (round-3 sweep,
+    # benchmarks/train_sweep.py: 102k @B=256, 110k @512, 108k @1024 —
+    # reproduced twice, no OOM at any size).
     train_sat_sps, train_mfu = None, None
     if (
         os.environ.get("BENCH_TRAIN_SATURATED", "1") == "1"
@@ -648,12 +651,12 @@ def main():
     ):
         try:
             train_sat_sps, train_flops = bench_train(
-                batch=256, bf16=True, measure_flops=True
+                batch=512, bf16=True, measure_flops=True
             )
             if train_flops:
                 train_mfu = train_sat_sps * train_flops / PEAK_FLOPS
                 log(
-                    f"[bench] train MFU (B=256 bf16): {train_mfu * 100:.2f}% "
+                    f"[bench] train MFU (B=512 bf16): {train_mfu * 100:.2f}% "
                     f"of {PEAK_FLOPS / 1e12:.0f} TFLOP/s peak"
                 )
         except Exception as exc:
