@@ -57,8 +57,11 @@ def configure(*, buddy: Buddy, task, dataset_args: Dict, mesh=None,
     pipeline parallelism (the TIME axis sharded over the mesh's "pipe"
     axis, belief relayed stage->stage — parallel/temporal_pipeline.py);
     T is padded to the stage count internally. Mutually exclusive with
-    `mesh` (batch-DP). `pipeline_microbatches=None` auto-sizes from the
-    eval batch (largest divisor of N up to 8 — GPipe efficiency rises
+    `mesh` (batch-DP) — to COMBINE batch-DP with pipelining, pass a 2-D
+    ("data", "pipe") mesh as `pipeline_mesh` (the composed data x pipe
+    grid; N shards over "data", each shard pipelines its own time axis).
+    `pipeline_microbatches=None` auto-sizes from the eval batch (largest
+    divisor of the per-data-shard N up to 8 — GPipe efficiency rises
     with micro)."""
     assert issubclass(task, tasks.Task)
     assert mesh is None or pipeline_mesh is None, (
@@ -215,7 +218,7 @@ def _device_throughput(observations, controls, states, chain: int = 4) -> float:
         # Pad T-1 to the stage count once, outside the timed chain; the
         # useful-step count below stays (t-1)*n, so padding overhead is
         # billed — the same overhead real pipelined eval pays.
-        mesh, axis_name, _micro = pipeline
+        mesh, axis_name, _micro, _data_axis = pipeline
         stages = mesh.shape[axis_name]
         pad = (-(t - 1)) % stages
         if pad:

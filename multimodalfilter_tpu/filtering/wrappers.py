@@ -221,13 +221,26 @@ class StatefulFilter:
         num_microbatches=None (default) auto-sizes from the batch at call
         time: the largest divisor of N up to 8 — GPipe efficiency is
         micro/(stages + micro - 1), so micro=8 at 8 stages reaches 53%
-        where the old fixed default of 2 sat at 22%."""
+        where the old fixed default of 2 sat at 22%.
+
+        A mesh with BOTH a "data" axis and `axis_name` routes through the
+        composed 2-D data x pipe grid: the trajectory batch shards
+        data-parallel across "data" while each data shard pipelines its own
+        time axis (parallel/temporal_pipeline.py data_axis_name). N must
+        divide by the data-axis size; microbatch auto-sizing then works on
+        the per-shard batch."""
         if mesh is None:
             self._pipeline = None
         else:
+            data_axis = (
+                "data"
+                if "data" in mesh.axis_names and axis_name != "data"
+                else None
+            )
             self._pipeline = (
                 mesh, axis_name,
                 None if num_microbatches is None else int(num_microbatches),
+                data_axis,
             )
 
     @staticmethod
@@ -239,7 +252,7 @@ class StatefulFilter:
         return 1
 
     def _resolved_micro(self, batch: Optional[int]) -> int:
-        mesh, axis_name, micro = self._pipeline
+        mesh, axis_name, micro, data_axis = self._pipeline
         if micro is not None:
             return micro
         assert batch is not None, (
@@ -247,6 +260,13 @@ class StatefulFilter:
             "batch=N to loop_cache_key()/_get_pipeline_fn() or set "
             "num_microbatches explicitly"
         )
+        if data_axis is not None:
+            data_size = mesh.shape[data_axis]
+            assert batch % data_size == 0, (
+                f"eval batch N={batch} not divisible by the pipeline mesh's "
+                f"data axis ({data_size})"
+            )
+            batch = batch // data_size  # microbatches slice the PER-SHARD batch
         return self._auto_microbatches(batch)
 
     def train(self, mode: bool = True):
@@ -342,10 +362,10 @@ class StatefulFilter:
         repeat). `batch` is needed only when the pipeline's microbatch
         count is auto-sized (num_microbatches=None)."""
         if self._pipeline is not None:
-            mesh, axis_name, _ = self._pipeline
+            mesh, axis_name, _, data_axis = self._pipeline
             return self._cache_key(
                 "pipeloop",
-                (axis_name, self._resolved_micro(batch),
+                (axis_name, data_axis, self._resolved_micro(batch),
                  _mesh_fingerprint(mesh)),
             )
         return self._cache_key("loop")
@@ -454,7 +474,7 @@ class StatefulFilter:
         from .pf import ParticleFilterDef
 
         defn, train, enabled = self.definition, self._training, self._enabled_tuple
-        mesh, axis_name, _ = self._pipeline
+        mesh, axis_name, _, data_axis = self._pipeline
         micro = self._resolved_micro(batch)
 
         def maker():
@@ -465,11 +485,12 @@ class StatefulFilter:
             )
             return make(
                 defn, mesh, axis_name=axis_name, num_microbatches=micro,
-                train=train, enabled=enabled,
+                train=train, enabled=enabled, data_axis_name=data_axis,
             )
 
         return self._get_fn(
-            "pipeloop", maker, extra=(axis_name, micro, _mesh_fingerprint(mesh))
+            "pipeloop", maker,
+            extra=(axis_name, data_axis, micro, _mesh_fingerprint(mesh)),
         )
 
     def _pipelined_forward_loop(self, observations, controls):
@@ -477,8 +498,22 @@ class StatefulFilter:
         with T zero-padded to the stage count and padded estimates dropped."""
         import jax.numpy as jnp
 
-        mesh, axis_name, _ = self._pipeline
+        mesh, axis_name, _, _data_axis = self._pipeline
         stages = mesh.shape[axis_name]
+        # Params may be COMMITTED to a different device set by an earlier
+        # sharded train/eval call (e.g. 8-device DP training then 4-device
+        # pipelined eval); jit refuses to mix them with this mesh's
+        # shard_map. Re-place replicated only on an actual mismatch — a
+        # device_put is never free through the TPU tunnel (CLAUDE.md #3).
+        leaves = jax.tree_util.tree_leaves(self.params)
+        if leaves and getattr(leaves[0], "committed", False):
+            if set(leaves[0].sharding.device_set) != set(mesh.devices.flat):
+                replicated = jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec()
+                )
+                self.params = jax.device_put(self.params, replicated)
+                if self._belief is not None:
+                    self._belief = jax.device_put(self._belief, replicated)
         controls = to_device(controls)
         fn = self._get_pipeline_fn(batch=controls.shape[1])
         observations = to_device(observations)

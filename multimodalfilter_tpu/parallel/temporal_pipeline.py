@@ -43,7 +43,10 @@ one); `train_e2e(pipeline_mesh=...)` trains through the pipelined loop.
 This is a new TPU enablement like particle sharding (SURVEY §2.5: the
 reference has no distributed layer); it completes the parallelism family:
 dp (batch), particle sharding (the model-parallel analog), the composed
-2-D data x particle grid, and now pp (time).
+2-D data x particle grid, pp (time), and — via `data_axis_name` on either
+maker — the composed 2-D data x pipe grid (batch DP across one mesh axis,
+each data shard pipelining its own time axis; per-shard key streams folded
+with the data index so shards draw independent noise).
 """
 
 from __future__ import annotations
@@ -146,9 +149,22 @@ def _fold_keys(keys_chunk, mc, fold: bool):
     return jax.vmap(lambda k: jax.random.fold_in(k, mc))(keys_chunk)
 
 
+def _fold_keys_data_axis(keys_chunk, mesh, data_axis_name):
+    """Decorrelate the per-timestep key stream across data shards (the
+    particle_sharding.py convention): without this, every data shard's
+    trajectories would draw the SAME dynamics/resampling noise. Skipped when
+    the data axis has size 1 so a (1, P) grid stays bitwise-identical to the
+    1-D pipelined loop (pinned by tests)."""
+    if data_axis_name is None or mesh.shape[data_axis_name] == 1:
+        return keys_chunk
+    idx = jax.lax.axis_index(data_axis_name)
+    return jax.vmap(lambda k: jax.random.fold_in(k, idx))(keys_chunk)
+
+
 def make_pipelined_pf_loop(
     defn, mesh, axis_name: str = "pipe", num_microbatches: int = 2,
     train: bool = False, enabled=None, fold_microbatch_key: bool = True,
+    data_axis_name=None,
 ):
     """Build a time-pipelined forward_loop for a ParticleFilterDef.
 
@@ -166,6 +182,12 @@ def make_pipelined_pf_loop(
       fold_microbatch_key: fold each timestep key with the microbatch index
         so concurrent microbatches draw independent noise. Disable only for
         bitwise comparison against the plain full-batch loop at micro=1.
+      data_axis_name: composed 2-D grid — ALSO shard the trajectory batch N
+        over this mesh axis (data-parallel), with the time axis pipelined
+        over `axis_name` per data shard. The per-shard key stream folds
+        with the data index (the particle_sharding.py convention) so shards
+        draw independent noise; a size-1 data axis is bitwise the 1-D loop.
+        N must divide by data_size * num_microbatches.
 
     Returns:
       loop(params, belief, obs_seq, ctrl_seq, key) -> (final_belief,
@@ -177,10 +199,11 @@ def make_pipelined_pf_loop(
     def per_device(params, particles0, log_w0, obs_chunk, ctrl_chunk, keys_chunk):
         n, m_particles, d_state = particles0.shape
         assert n % micro == 0, (
-            f"batch {n} not divisible by num_microbatches {micro}"
+            f"per-shard batch {n} not divisible by num_microbatches {micro}"
         )
         nm = n // micro
         t_loc = ctrl_chunk.shape[0]
+        keys_chunk = _fold_keys_data_axis(keys_chunk, mesh, data_axis_name)
 
         # Hoisted encoder pass over this device's chunk, all N at once —
         # encoders are batch-elementwise, so slicing microbatches out of
@@ -229,13 +252,23 @@ def make_pipelined_pf_loop(
 
     replicated = PartitionSpec()
     time_spec = PartitionSpec(axis_name)
+    # With a data axis the belief shards over batch (leaf axis 0) and the
+    # (T, N, ...) sequences over (pipe, data); keys stay time-sharded only
+    # (every data shard consumes the same stream, decorrelated by the fold).
+    batch_spec = (
+        replicated if data_axis_name is None else PartitionSpec(data_axis_name)
+    )
+    seq_spec = (
+        time_spec if data_axis_name is None
+        else PartitionSpec(axis_name, data_axis_name)
+    )
 
     sharded = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(replicated, replicated, replicated, time_spec, time_spec,
+        in_specs=(replicated, batch_spec, batch_spec, seq_spec, seq_spec,
                   time_spec),
-        out_specs=(time_spec, replicated, replicated),
+        out_specs=(seq_spec, batch_spec, batch_spec),
         check_vma=False,
     )
 
@@ -259,6 +292,7 @@ def make_pipelined_pf_loop(
 def make_pipelined_filter_loop(
     defn, mesh, axis_name: str = "pipe", num_microbatches: int = 2,
     train: bool = False, enabled=None, fold_microbatch_key: bool = True,
+    data_axis_name=None,
 ):
     """Generic time-pipelined forward_loop for ANY FilterDef.
 
@@ -268,6 +302,8 @@ def make_pipelined_filter_loop(
     variant it does not hoist encoders out of the chunk scan (generic
     `step` takes raw observations), so for PFs prefer
     make_pipelined_pf_loop. The `enabled` knob is forwarded to fusion defs.
+    `data_axis_name` composes batch-DP with the pipeline on one 2-D grid
+    (see make_pipelined_pf_loop).
 
     Returns loop(params, belief, obs_seq, ctrl_seq, key) -> (final_belief,
     estimates (T, N, D)).
@@ -278,10 +314,11 @@ def make_pipelined_filter_loop(
     def per_device(params, belief0, obs_chunk, ctrl_chunk, keys_chunk):
         n = ctrl_chunk.shape[1]
         assert n % micro == 0, (
-            f"batch {n} not divisible by num_microbatches {micro}"
+            f"per-shard batch {n} not divisible by num_microbatches {micro}"
         )
         nm = n // micro
         t_loc = ctrl_chunk.shape[0]
+        keys_chunk = _fold_keys_data_axis(keys_chunk, mesh, data_axis_name)
 
         def run_chunk(belief_in, mc):
             obs_mb = jax.tree_util.tree_map(
@@ -310,12 +347,19 @@ def make_pipelined_filter_loop(
 
     replicated = PartitionSpec()
     time_spec = PartitionSpec(axis_name)
+    batch_spec = (
+        replicated if data_axis_name is None else PartitionSpec(data_axis_name)
+    )
+    seq_spec = (
+        time_spec if data_axis_name is None
+        else PartitionSpec(axis_name, data_axis_name)
+    )
 
     sharded = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(replicated, replicated, time_spec, time_spec, time_spec),
-        out_specs=(time_spec, replicated),
+        in_specs=(replicated, batch_spec, seq_spec, seq_spec, time_spec),
+        out_specs=(seq_spec, batch_spec),
         check_vma=False,
     )
 

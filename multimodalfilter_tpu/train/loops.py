@@ -321,6 +321,14 @@ def train_e2e(
         assert (seq_len - 1) % stages == 0, (
             f"subsequence steps {seq_len - 1} not divisible by {stages} stages"
         )
+        # A ("data", "pipe") mesh trains on the composed 2-D grid: the BPTT
+        # batch shards over "data" while each shard pipelines its time axis.
+        data_axis = "data" if "data" in pipeline_mesh.axis_names else None
+        if data_axis is not None:
+            assert batch_size % pipeline_mesh.shape[data_axis] == 0, (
+                f"batch_size {batch_size} not divisible by the pipeline "
+                f"mesh's data axis ({pipeline_mesh.shape[data_axis]})"
+            )
         make = (
             make_pipelined_pf_loop
             if isinstance(defn, ParticleFilterDef)
@@ -328,7 +336,7 @@ def train_e2e(
         )
         pipelined_loop = make(
             defn, pipeline_mesh, num_microbatches=pipeline_microbatches,
-            train=True, enabled=enabled,
+            train=True, enabled=enabled, data_axis_name=data_axis,
         )
 
         def loop_fn(sub, belief, obs_rest, ctrl_rest, key):
@@ -410,6 +418,18 @@ def train_e2e(
         root.params = jax.device_put(root.params, replicated)
         opt["state"] = jax.device_put(opt["state"], replicated)
     else:
+        if pipeline_mesh is not None:
+            # Same mixed-device hazard as the DP branch above: an earlier
+            # sharded/pipelined call may have committed params or optimizer
+            # state to a different device set (e.g. a 4-device pipeline then
+            # an 8-device data x pipe grid); jit refuses to mix them with
+            # this mesh's shard_map, so re-place replicated here.
+            opt = get_named_optimizer(buddy, optimizer_name, root.params)
+            replicated = jax.sharding.NamedSharding(
+                pipeline_mesh, jax.sharding.PartitionSpec()
+            )
+            root.params = jax.device_put(root.params, replicated)
+            opt["state"] = jax.device_put(opt["state"], replicated)
         step = _make_step(buddy, root, loss_fn, optimizer_name, cache_extra)
 
     return _run_epochs(

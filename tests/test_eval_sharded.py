@@ -97,6 +97,40 @@ def test_pipelined_eval_matches_single_device(env):
     )
 
 
+def test_data_pipe_grid_eval_matches_single_device(env):
+    """run_eval through the composed 2-D data x pipe grid (N=16 over a
+    2-wide data axis, T over 4 pipeline stages) must reproduce
+    single-device RMSE on the deterministic EKF model — the facade detects
+    the "data" axis on the pipeline mesh and routes data_axis_name."""
+    from crossmodal.tasks import DoorTask
+
+    buddy = env
+    eh = crossmodal.eval_helpers
+
+    eh.configure(buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS)
+    single = eh.run_eval()
+
+    eh.configure(
+        buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS,
+        pipeline_mesh=create_mesh(
+            8, axis_names=("data", "pipe"), shape=(2, 4)
+        ),
+    )
+    gridded = eh.run_eval()
+    assert gridded["filter_steps_per_sec"] > 0
+    eh.configure(buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS)
+
+    # Same tolerance rationale as the 1-D pipelined test above (the
+    # deterministic EKF ignores keys, so the data-axis fold is inert; only
+    # fp reassociation under the shard_map context differs).
+    np.testing.assert_allclose(
+        single["raw_rmse"], gridded["raw_rmse"], rtol=5e-2
+    )
+    np.testing.assert_allclose(
+        single["theta_rmse_deg"], gridded["theta_rmse_deg"], rtol=5e-2
+    )
+
+
 def test_pipelined_eval_attribution(env):
     """Round-2 verdict Weak #2: the warm-up probe and the device-throughput
     timer must follow the CONFIGURED path. Under a pipeline config,
@@ -176,6 +210,32 @@ def test_pipeline_auto_microbatches(env):
     res = eh.run_eval()
     assert res["filter_steps_per_sec"] > 0
     eh.configure(buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS)
+
+
+def test_pipelined_eval_after_params_committed_elsewhere(env):
+    """Params committed to a DIFFERENT device set (e.g. by 8-device DP
+    training) must not break a 4-device pipelined eval: the facade
+    re-places them replicated on the pipeline mesh on mismatch."""
+    import jax
+    from crossmodal.tasks import DoorTask
+
+    buddy = env
+    eh = crossmodal.eval_helpers
+    # Commit params to the full 8-device mesh (what sharded training does).
+    full = jax.sharding.NamedSharding(
+        create_mesh(8), jax.sharding.PartitionSpec()
+    )
+    buddy.model.params = jax.device_put(buddy.model.params, full)
+    try:
+        eh.configure(
+            buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS,
+            pipeline_mesh=create_mesh(4, axis_names=("pipe",)),
+            pipeline_microbatches=2,
+        )
+        res = eh.run_eval()
+        assert np.isfinite(res["theta_rmse_deg"])
+    finally:
+        eh.configure(buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS)
 
 
 def test_sharded_eval_uneven_batch_raises(env):

@@ -235,3 +235,36 @@ def test_train_e2e_pipelined(trained_pf, door_trajectories):
     assert any(not np.array_equal(a, b) for a, b in zip(before, after))
     # Restore the plain config for any later tests in the module.
     th.configure(buddy=buddy, trajectories=door_trajectories)
+
+
+def test_train_e2e_data_pipe_grid(trained_pf, door_trajectories):
+    """e2e BPTT on the composed 2-D data x pipe grid: batch 8 sharded over
+    a 2-wide data axis, each shard pipelining its 4-step window over 4
+    stages. Loss finite, params move."""
+    import crossmodal
+    import jax
+    from multimodalfilter_tpu.parallel.mesh import create_mesh
+
+    model, buddy, _, _ = trained_pf
+    th = crossmodal.train_helpers
+    th.configure(
+        buddy=buddy, trajectories=door_trajectories,
+        pipeline_mesh=create_mesh(
+            8, axis_names=("data", "pipe"), shape=(2, 4)
+        ),
+        pipeline_microbatches=2,
+    )
+    before = [
+        np.array(x) for x in jax.tree_util.tree_leaves(
+            get_by_path(model.params, "measurement_model")
+        )
+    ]
+    loss = th.train_e2e(subsequence_length=5, epochs=1, batch_size=8)
+    assert loss is not None and np.isfinite(loss)
+    after = [
+        np.array(x) for x in jax.tree_util.tree_leaves(
+            get_by_path(model.params, "measurement_model")
+        )
+    ]
+    assert any(not np.array_equal(a, b) for a, b in zip(before, after))
+    th.configure(buddy=buddy, trajectories=door_trajectories)

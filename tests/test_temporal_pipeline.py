@@ -305,6 +305,139 @@ def test_generic_pipeline_crossmodal_kf_matches_plain_loop():
     )
 
 
+# ---------------------------------------------------------------------------
+# Composed 2-D data x pipe grid (round 3): batch DP across one mesh axis,
+# each data shard pipelining its own time axis.
+# ---------------------------------------------------------------------------
+
+
+def test_data_pipe_grid_size1_data_axis_bitwise_1d():
+    """A (1, P) grid must be BITWISE the 1-D pipelined loop: the data-axis
+    key fold is skipped at size 1 (pinned contract)."""
+    key = jax.random.PRNGKey(11)
+    pf, params, belief, _, obs, controls = _setup(key, timesteps=16, batch=4)
+
+    mesh_1d = create_mesh(4, axis_names=("pipe",))
+    loop_1d = make_pipelined_pf_loop(pf, mesh_1d, num_microbatches=2)
+    final_1d, est_1d = loop_1d(params, belief, {"y": obs}, controls, key)
+
+    mesh_2d = create_mesh(4, axis_names=("data", "pipe"), shape=(1, 4))
+    loop_2d = make_pipelined_pf_loop(
+        pf, mesh_2d, num_microbatches=2, data_axis_name="data"
+    )
+    final_2d, est_2d = loop_2d(params, belief, {"y": obs}, controls, key)
+
+    np.testing.assert_allclose(
+        np.asarray(est_2d), np.asarray(est_1d), atol=1e-6, rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(final_2d.particles), np.asarray(final_1d.particles)
+    )
+
+
+def test_data_pipe_grid_pf_bitwise_decomposition():
+    """(2 data x 4 pipe) grid: each data shard's rollout equals the plain
+    per-microbatch scan with the documented DOUBLE key fold — per-timestep
+    keys folded first with the data index, then with the microbatch index."""
+    key = jax.random.PRNGKey(12)
+    data_shards, micro = 2, 2
+    batch = 8  # 4 rows per data shard, 2 per microbatch
+    pf, params, belief, _, obs, controls = _setup(key, timesteps=16, batch=batch)
+
+    mesh = create_mesh(8, axis_names=("data", "pipe"), shape=(2, 4))
+    loop = make_pipelined_pf_loop(
+        pf, mesh, num_microbatches=micro, data_axis_name="data"
+    )
+    final_p, est_p = loop(params, belief, {"y": obs}, controls, key)
+
+    t = controls.shape[0]
+    n_loc = batch // data_shards
+    nm = n_loc // micro
+    keys = jax.random.split(key, t)
+    for d in range(data_shards):
+        keys_d = jax.vmap(lambda k: jax.random.fold_in(k, d))(keys)
+        for mc in range(micro):
+            sl = slice(d * n_loc + mc * nm, d * n_loc + (mc + 1) * nm)
+            bel_mc = type(belief)(belief.particles[sl], belief.log_weights[sl])
+            keys_mc = jax.vmap(lambda k: jax.random.fold_in(k, mc))(keys_d)
+
+            def scan_step(carry, inputs):
+                o_t, c_t, k_t = inputs
+                return pf.step(params, carry, {"y": o_t}, c_t, k_t, train=False)
+
+            final_mc, est_mc = jax.lax.scan(
+                scan_step, bel_mc, (obs[:, sl], controls[:, sl], keys_mc)
+            )
+            np.testing.assert_allclose(
+                np.asarray(est_p[:, sl]), np.asarray(est_mc),
+                atol=1e-5, rtol=1e-5,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(final_p.particles[sl]),
+                np.asarray(final_mc.particles),
+            )
+
+
+def test_data_pipe_grid_tracks_kf_oracle():
+    """(2 data x 4 pipe) PF grid tracks the closed-form KF oracle, with
+    every trajectory filtered independently (no row collapse)."""
+    key = jax.random.PRNGKey(13)
+    pf, params, belief, states, obs, controls = _setup(
+        key, timesteps=32, batch=8
+    )
+    mesh = create_mesh(8, axis_names=("data", "pipe"), shape=(2, 4))
+    loop = make_pipelined_pf_loop(
+        pf, mesh, num_microbatches=2, data_axis_name="data"
+    )
+    final_p, est = loop(params, belief, {"y": obs}, controls, key)
+
+    assert est.shape == (32, 8, STATE_DIM)
+    mean0 = states[0]
+    cov0 = jnp.broadcast_to(0.1 * jnp.eye(STATE_DIM), (8, STATE_DIM, STATE_DIM))
+    expected = _closed_form_kf(mean0, cov0, obs, controls)
+    err = np.abs(np.asarray(est[5:]) - expected[5:])
+    assert err.mean() < 0.12, err.mean()
+    per_traj = err.mean(axis=(0, 2))
+    assert (per_traj < 0.25).all(), per_traj
+    lse = jax.scipy.special.logsumexp(final_p.log_weights, axis=1)
+    np.testing.assert_allclose(np.asarray(lse), 0.0, atol=1e-4)
+
+
+def test_data_pipe_grid_generic_ekf_matches_plain():
+    """Generic variant on the 2-D grid: a deterministic EKF ignores keys, so
+    the grid must reproduce the plain forward_loop exactly."""
+    from test_filter_core import _make_ekf
+    from multimodalfilter_tpu.parallel.temporal_pipeline import (
+        make_pipelined_filter_loop,
+    )
+
+    key = jax.random.PRNGKey(14)
+    batch, t = 8, 16
+    states, obs, controls = _simulate(key, timesteps=t, batch=batch)
+    ekf = _make_ekf()
+    params = ekf.init(key)
+    cov0 = jnp.broadcast_to(
+        0.1 * jnp.eye(STATE_DIM), (batch, STATE_DIM, STATE_DIM)
+    )
+    belief = ekf.initialize_beliefs(params, key, states[0], cov0, train=False)
+
+    mesh = create_mesh(8, axis_names=("data", "pipe"), shape=(2, 4))
+    loop = make_pipelined_filter_loop(
+        ekf, mesh, num_microbatches=2, data_axis_name="data"
+    )
+    final_p, est_p = loop(params, belief, {"y": obs}, controls, key)
+
+    final_s, est_s = ekf.forward_loop(
+        params, belief, {"y": obs}, controls, key, train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(est_p), np.asarray(est_s), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(final_p.mean), np.asarray(final_s.mean), atol=1e-5
+    )
+
+
 def test_pipeline_rejects_indivisible_t():
     key = jax.random.PRNGKey(3)
     pf, params, belief, _, obs, controls = _setup(key, timesteps=30, batch=4)
