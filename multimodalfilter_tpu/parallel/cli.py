@@ -6,11 +6,18 @@ CLIs can reach the data-parallel and temporal-pipeline paths without code:
 
     train_door.py ... --data-parallel 8        # batch axis over 8 chips
     eval_door.py  ... --pipeline-stages 8      # time axis over 8 chips
+    eval_door.py  ... --data-parallel 2 --pipeline-stages 4
+                                               # composed 2-D grid: batch
+                                               # over 2, time over 4, on
+                                               # 8 chips total
 
-Both build a `jax.sharding.Mesh` over the first N visible devices
+All build `jax.sharding.Mesh`es over the first N visible devices
 (parallel/mesh.py::create_mesh) and hard-fail if fewer are visible — on a
-single chip simply omit the flags. They are mutually exclusive, mirroring
-`train_helpers.configure` / `eval_helpers.configure`.
+single chip simply omit the flags. Given BOTH flags, rollouts run on the
+composed data x pipe grid (D*P devices); on the train CLIs the D-wide DP
+mesh additionally shards BPTT training (the pipeline applies to eval
+passes only — see the train CLIs), so eval paths must prefer
+`pipeline_mesh` over `mesh` when both are returned.
 """
 
 from __future__ import annotations
@@ -30,29 +37,39 @@ def add_parallelism_args(parser: argparse.ArgumentParser) -> None:
         "--pipeline-stages", type=int, default=None, metavar="N",
         help="shard the TIME axis over N pipeline stages (GPipe schedule, "
         "belief relayed stage->stage — parallel/temporal_pipeline.py); "
-        "exclusive with --data-parallel",
+        "combined with --data-parallel D, rollouts run on the composed "
+        "(D data x N pipe) grid over D*N devices",
     )
     group.add_argument(
         "--pipeline-microbatches", type=int, default=None, metavar="M",
         help="microbatch count for --pipeline-stages (default: auto — the "
-        "largest divisor of the batch up to 8)",
+        "largest divisor of the (per-data-shard) batch up to 8)",
     )
 
 
 def meshes_from_args(args) -> Tuple[Optional[object], Optional[object]]:
-    """(mesh, pipeline_mesh) from parsed CLI args, either possibly None."""
+    """(mesh, pipeline_mesh) from parsed CLI args, either possibly None.
+
+    With both flags set, `pipeline_mesh` is the composed (D data x P pipe)
+    grid and `mesh` is the D-wide DP mesh for BPTT training; eval paths
+    take the grid (pass mesh=None alongside it — eval_helpers.configure
+    treats the two as exclusive because the grid already carries the data
+    axis)."""
     from .mesh import create_mesh
 
-    if args.data_parallel is not None and args.pipeline_stages is not None:
-        raise SystemExit(
-            "--data-parallel and --pipeline-stages are mutually exclusive"
-        )
     mesh = None
     pipeline_mesh = None
     if args.data_parallel is not None:
         mesh = create_mesh(args.data_parallel)
     if args.pipeline_stages is not None:
-        pipeline_mesh = create_mesh(
-            args.pipeline_stages, axis_names=("pipe",)
-        )
+        if args.data_parallel is not None:
+            pipeline_mesh = create_mesh(
+                args.data_parallel * args.pipeline_stages,
+                axis_names=("data", "pipe"),
+                shape=(args.data_parallel, args.pipeline_stages),
+            )
+        else:
+            pipeline_mesh = create_mesh(
+                args.pipeline_stages, axis_names=("pipe",)
+            )
     return mesh, pipeline_mesh

@@ -84,7 +84,10 @@ def main(argv=None):
     eval_helpers = crossmodal.eval_helpers
     eval_helpers.configure(
         buddy=buddy, task=Task, dataset_args=dataset_args,
-        mesh=mesh, pipeline_mesh=pipeline_mesh,
+        # With BOTH CLI flags the grid already carries the data axis;
+        # eval takes the composed mesh alone (cli.meshes_from_args).
+        mesh=None if pipeline_mesh is not None else mesh,
+        pipeline_mesh=pipeline_mesh,
         pipeline_microbatches=args.pipeline_microbatches,
     )
 

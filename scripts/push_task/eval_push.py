@@ -47,7 +47,10 @@ def main(argv=None):
 
     crossmodal.eval_helpers.configure(
         buddy=buddy, task=Task, dataset_args=dataset_args,
-        mesh=mesh, pipeline_mesh=pipeline_mesh,
+        # With BOTH CLI flags the grid already carries the data axis;
+        # eval takes the composed mesh alone (cli.meshes_from_args).
+        mesh=None if pipeline_mesh is not None else mesh,
+        pipeline_mesh=pipeline_mesh,
         pipeline_microbatches=args.pipeline_microbatches,
     )
     results = crossmodal.eval_helpers.run_eval_stats(
