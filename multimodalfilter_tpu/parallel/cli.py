@@ -47,6 +47,29 @@ def add_parallelism_args(parser: argparse.ArgumentParser) -> None:
     )
 
 
+def add_serving_arg(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument(
+        "--serving", action="store_true",
+        help="apply the validated production-serving stack (Pallas PF "
+        "kernels + bf16 encoder compute + folded encoder tail — bench.py's "
+        "value_saturated_best configuration); equivalent to "
+        "MMF_TPU_SERVING=1, and per-knob MMF_TPU_{PALLAS,BF16,FOLD_ENC} "
+        "envs still override individually",
+    )
+
+
+def apply_serving_arg(args) -> None:
+    """Set MMF_TPU_SERVING from --serving.
+
+    Must run before any model is constructed: StatefulFilter reads the
+    serving knobs at build time (filtering/wrappers.py::StatefulFilter).
+    """
+    if getattr(args, "serving", False):
+        import os
+
+        os.environ["MMF_TPU_SERVING"] = "1"
+
+
 def meshes_from_args(args) -> Tuple[Optional[object], Optional[object]]:
     """(mesh, pipeline_mesh) from parsed CLI args, either possibly None.
 

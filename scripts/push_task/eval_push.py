@@ -23,6 +23,8 @@ Task = crossmodal.tasks.PushTask
 def main(argv=None):
     from multimodalfilter_tpu.parallel.cli import (
         add_parallelism_args,
+        add_serving_arg,
+        apply_serving_arg,
         meshes_from_args,
     )
 
@@ -32,7 +34,9 @@ def main(argv=None):
     parser.add_argument("--save", action="store_true")
     parser.add_argument("--measurement_init", action="store_true")
     add_parallelism_args(parser)
+    add_serving_arg(parser)
     args = parser.parse_args(argv)
+    apply_serving_arg(args)  # before model build — knobs read at __init__
     mesh, pipeline_mesh = meshes_from_args(args)
 
     set_cache_path(crossmodal.__path__[0] + "/../.cache")

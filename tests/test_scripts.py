@@ -267,3 +267,59 @@ def test_eval_cli_parallelism_flags(tmp_path, monkeypatch):
     crossmodal.eval_helpers.configure(
         buddy=buddy, task=DoorTask, dataset_args={},
     )
+
+
+def test_eval_cli_serving_flag(tmp_path, monkeypatch):
+    """--serving on the eval CLI sets MMF_TPU_SERVING=1 BEFORE the model is
+    constructed (StatefulFilter reads the serving knobs at __init__ —
+    filtering/wrappers.py), i.e. the CLI flag is equivalent to exporting
+    the env var. The serving-stack composition itself (Pallas+bf16+fold)
+    is covered by test_stacked_encoders / the strip tests; here we pin the
+    CLI routing only, with the rollout stubbed out."""
+    import os
+
+    monkeypatch.setenv("MMF_TPU_SYNTHESIZE_DATA", "1")
+    monkeypatch.setenv("MMF_TPU_SYNTH_TRAJ", "4")
+    monkeypatch.setenv("MMF_TPU_SYNTH_T", "16")
+    # Register the pre-test (absent) value so teardown removes the "1"
+    # that apply_serving_arg writes.
+    monkeypatch.setenv("MMF_TPU_SERVING", "0")
+    monkeypatch.chdir(tmp_path)
+
+    import crossmodal
+    from crossmodal.tasks import DoorTask
+    from multimodalfilter_tpu.experiments import Buddy
+    import multimodalfilter_tpu.filtering.wrappers as _wrappers
+
+    model = DoorTask.model_types["DoorKalmanFilter"]()
+    buddy = Buddy("cli_serving_test", model)
+    buddy.set_metadata({
+        "model_type": "DoorKalmanFilter",
+        "dataset_args": {},
+    })
+    buddy.save_checkpoint()
+
+    seen = {}
+    orig_init = _wrappers.StatefulFilter.__init__
+
+    def recording_init(self, definition, seed=0):
+        seen["serving_env_at_build"] = os.environ.get("MMF_TPU_SERVING")
+        return orig_init(self, definition, seed)
+
+    monkeypatch.setattr(_wrappers.StatefulFilter, "__init__", recording_init)
+    monkeypatch.setattr(
+        crossmodal.eval_helpers, "run_eval_stats",
+        lambda **kwargs: {"stubbed": 1.0},
+    )
+
+    import eval_door
+
+    eval_door.main(["--experiment-name", "cli_serving_test", "--serving"])
+    assert seen["serving_env_at_build"] == "1"
+
+    # Without the flag the env is left alone (a user-exported
+    # MMF_TPU_SERVING must keep working without --serving).
+    seen.clear()
+    monkeypatch.setenv("MMF_TPU_SERVING", "0")
+    eval_door.main(["--experiment-name", "cli_serving_test"])
+    assert seen["serving_env_at_build"] == "0"
