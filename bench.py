@@ -568,6 +568,42 @@ def main():
     # budget when the compile helper was still draining a prior process).
     budget = float(os.environ.get("BENCH_BUDGET_S", "540"))
 
+    # Hard watchdog: the soft budget only gates BETWEEN configs — it cannot
+    # fire if the very first device touch hangs (observed: a TPU-tunnel
+    # outage where even jax.devices() blocks forever in a fresh process).
+    # If no JSON line has been emitted after BENCH_HARD_TIMEOUT_S, print an
+    # honest error line (value 0, error field) and exit so the driver
+    # records an artifact instead of a hang. Disabled with <=0.
+    import threading
+
+    _result_emitted = threading.Event()
+    hard_timeout = float(os.environ.get("BENCH_HARD_TIMEOUT_S", "2700"))
+    if hard_timeout > 0:
+
+        def _watchdog():
+            if _result_emitted.wait(hard_timeout):
+                return
+            print(
+                json.dumps(
+                    {
+                        "metric": "filter_steps_per_sec_per_chip",
+                        "value": 0.0,
+                        "unit": "steps/s",
+                        "vs_baseline": 0.0,
+                        "error": (
+                            f"watchdog: no result within {hard_timeout:.0f}s"
+                            " — TPU backend unreachable or a compile hung"
+                            " (tunnel outage?); rerun when the device is"
+                            " back"
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(1)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
+
     def over_budget(label):
         if time.perf_counter() - start > budget:
             log(f"[bench] budget exceeded, skipping {label}")
@@ -693,6 +729,7 @@ def main():
     torch_pinned_sps = pinned_baseline(torch_live_sps)
     vs_baseline = (jax_sps / torch_pinned_sps) if torch_pinned_sps else None
     vs_baseline_live = (jax_sps / torch_live_sps) if torch_live_sps else None
+    _result_emitted.set()  # disarm the watchdog — real result follows
     print(
         json.dumps(
             {
