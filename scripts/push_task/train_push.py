@@ -34,6 +34,8 @@ Task = crossmodal.tasks.PushTask
 def main(argv=None):
     from multimodalfilter_tpu.parallel.cli import (
         add_parallelism_args,
+        add_serving_arg,
+        apply_serving_arg,
         meshes_from_args,
     )
 
@@ -45,7 +47,12 @@ def main(argv=None):
     parser.add_argument("--notes", type=str, default="(none)")
     Task.add_dataset_arguments(parser)
     add_parallelism_args(parser)
+    add_serving_arg(parser)
     args = parser.parse_args(argv)
+    # --serving on a TRAIN CLI: training itself provably strips the
+    # serving transforms (train loops — bitwise plain training), so the
+    # switch accelerates this run's EVAL passes + the Pallas train kernel.
+    apply_serving_arg(args)  # before model build — knobs read at __init__
     mesh, pipeline_mesh = meshes_from_args(args)
 
     model_type = args.model_type
