@@ -218,7 +218,7 @@ def _device_throughput(observations, controls, states, chain: int = 4) -> float:
         # Pad T-1 to the stage count once, outside the timed chain; the
         # useful-step count below stays (t-1)*n, so padding overhead is
         # billed — the same overhead real pipelined eval pays.
-        mesh, axis_name, _micro, _data_axis = pipeline
+        mesh, axis_name = pipeline[0], pipeline[1]
         stages = mesh.shape[axis_name]
         pad = (-(t - 1)) % stages
         if pad:

@@ -200,7 +200,8 @@ class StatefulFilter:
         self._training = True
         self._belief = None
         self._fn_cache = {}
-        self._pipeline = None  # (mesh, axis_name, num_microbatches) or None
+        # (mesh, axis_name, num_microbatches, data_axis, particle_axis)
+        self._pipeline = None
         self.frozen_paths: set = set()
         count = _fusion_count(definition)
         self._enabled_models: Optional[List[bool]] = (
@@ -228,7 +229,13 @@ class StatefulFilter:
         data-parallel across "data" while each data shard pipelines its own
         time axis (parallel/temporal_pipeline.py data_axis_name). N must
         divide by the data-axis size; microbatch auto-sizing then works on
-        the per-shard batch."""
+        the per-shard batch.
+
+        A mesh with a "particle" axis (PF definitions only) additionally
+        shards the particle axis M inside each stage — massive-M x long-T
+        serving (parallel/temporal_pipeline.py particle_axis_name). All
+        three axes compose: a ("data", "pipe", "particle") mesh runs the
+        full 3-D grid. M must divide by the particle-axis size."""
         if mesh is None:
             self._pipeline = None
         else:
@@ -237,10 +244,25 @@ class StatefulFilter:
                 if "data" in mesh.axis_names and axis_name != "data"
                 else None
             )
+            particle_axis = (
+                "particle"
+                if "particle" in mesh.axis_names and axis_name != "particle"
+                else None
+            )
+            if particle_axis is not None:
+                from .pf import ParticleFilterDef
+
+                if not isinstance(self.definition, ParticleFilterDef):
+                    raise ValueError(
+                        "a 'particle' mesh axis shards the PF particle "
+                        "dimension — only ParticleFilterDef filters can "
+                        f"pipeline over it (got "
+                        f"{type(self.definition).__name__})"
+                    )
             self._pipeline = (
                 mesh, axis_name,
                 None if num_microbatches is None else int(num_microbatches),
-                data_axis,
+                data_axis, particle_axis,
             )
 
     @staticmethod
@@ -252,7 +274,7 @@ class StatefulFilter:
         return 1
 
     def _resolved_micro(self, batch: Optional[int]) -> int:
-        mesh, axis_name, micro, data_axis = self._pipeline
+        mesh, axis_name, micro, data_axis, _particle_axis = self._pipeline
         if micro is not None:
             return micro
         assert batch is not None, (
@@ -362,11 +384,11 @@ class StatefulFilter:
         repeat). `batch` is needed only when the pipeline's microbatch
         count is auto-sized (num_microbatches=None)."""
         if self._pipeline is not None:
-            mesh, axis_name, _, data_axis = self._pipeline
+            mesh, axis_name, _, data_axis, particle_axis = self._pipeline
             return self._cache_key(
                 "pipeloop",
-                (axis_name, data_axis, self._resolved_micro(batch),
-                 _mesh_fingerprint(mesh)),
+                (axis_name, data_axis, particle_axis,
+                 self._resolved_micro(batch), _mesh_fingerprint(mesh)),
             )
         return self._cache_key("loop")
 
@@ -474,23 +496,25 @@ class StatefulFilter:
         from .pf import ParticleFilterDef
 
         defn, train, enabled = self.definition, self._training, self._enabled_tuple
-        mesh, axis_name, _, data_axis = self._pipeline
+        mesh, axis_name, _, data_axis, particle_axis = self._pipeline
         micro = self._resolved_micro(batch)
 
         def maker():
-            make = (
-                make_pipelined_pf_loop
-                if isinstance(defn, ParticleFilterDef)
-                else make_pipelined_filter_loop
-            )
-            return make(
+            if isinstance(defn, ParticleFilterDef):
+                return make_pipelined_pf_loop(
+                    defn, mesh, axis_name=axis_name, num_microbatches=micro,
+                    train=train, enabled=enabled, data_axis_name=data_axis,
+                    particle_axis_name=particle_axis,
+                )
+            return make_pipelined_filter_loop(
                 defn, mesh, axis_name=axis_name, num_microbatches=micro,
                 train=train, enabled=enabled, data_axis_name=data_axis,
             )
 
         return self._get_fn(
             "pipeloop", maker,
-            extra=(axis_name, data_axis, micro, _mesh_fingerprint(mesh)),
+            extra=(axis_name, data_axis, particle_axis, micro,
+                   _mesh_fingerprint(mesh)),
         )
 
     def _pipelined_forward_loop(self, observations, controls):
@@ -498,7 +522,7 @@ class StatefulFilter:
         with T zero-padded to the stage count and padded estimates dropped."""
         import jax.numpy as jnp
 
-        mesh, axis_name, _, _data_axis = self._pipeline
+        mesh, axis_name, _, _data_axis, _particle_axis = self._pipeline
         stages = mesh.shape[axis_name]
         # Params may be COMMITTED to a different device set by an earlier
         # sharded train/eval call (e.g. 8-device DP training then 4-device

@@ -164,7 +164,7 @@ def _fold_keys_data_axis(keys_chunk, mesh, data_axis_name):
 def make_pipelined_pf_loop(
     defn, mesh, axis_name: str = "pipe", num_microbatches: int = 2,
     train: bool = False, enabled=None, fold_microbatch_key: bool = True,
-    data_axis_name=None,
+    data_axis_name=None, particle_axis_name=None,
 ):
     """Build a time-pipelined forward_loop for a ParticleFilterDef.
 
@@ -182,12 +182,24 @@ def make_pipelined_pf_loop(
       fold_microbatch_key: fold each timestep key with the microbatch index
         so concurrent microbatches draw independent noise. Disable only for
         bitwise comparison against the plain full-batch loop at micro=1.
-      data_axis_name: composed 2-D grid — ALSO shard the trajectory batch N
+      data_axis_name: composed grid — ALSO shard the trajectory batch N
         over this mesh axis (data-parallel), with the time axis pipelined
         over `axis_name` per data shard. The per-shard key stream folds
         with the data index (the particle_sharding.py convention) so shards
         draw independent noise; a size-1 data axis is bitwise the 1-D loop.
         N must divide by data_size * num_microbatches.
+      particle_axis_name: composed grid — ALSO shard the particle axis M
+        over this mesh axis (massive-M x long-T serving). The per-timestep
+        body becomes particle_sharding.py's sharded step (global weight
+        normalize/estimate via pmax+psum, global systematic resampling in
+        eval mode, the train step's global-noise-slice in train mode), so
+        its collectives ride the particle axis while the belief relay rides
+        the pipe axis. The relayed belief is the particle-SHARDED local
+        block ((nm, M/Q, D) per cell — the ppermute payload shrinks Q-fold
+        vs the unsharded pipeline). With micro=1 + fold disabled this is
+        bitwise the standalone make_particle_sharded_pf_loop on the same
+        particle-axis size. Composes with data_axis_name into the full 3-D
+        data x pipe x particle grid.
 
     Returns:
       loop(params, belief, obs_seq, ctrl_seq, key) -> (final_belief,
@@ -195,6 +207,9 @@ def make_pipelined_pf_loop(
     """
     num_stages = mesh.shape[axis_name]
     micro = num_microbatches
+    particle_shards = (
+        mesh.shape[particle_axis_name] if particle_axis_name else 1
+    )
 
     def per_device(params, particles0, log_w0, obs_chunk, ctrl_chunk, keys_chunk):
         n, m_particles, d_state = particles0.shape
@@ -207,7 +222,10 @@ def make_pipelined_pf_loop(
 
         # Hoisted encoder pass over this device's chunk, all N at once —
         # encoders are batch-elementwise, so slicing microbatches out of
-        # the precomputed features afterwards is exact.
+        # the precomputed features afterwards is exact. (With a particle
+        # axis this pass is replicated across the particle shards — same
+        # as the standalone particle-sharded loop; at massive M the
+        # per-particle trunk, not the per-frame encoder, dominates.)
         flat_obs = jax.tree_util.tree_map(
             lambda x: x.reshape((t_loc * n,) + x.shape[2:]), obs_chunk
         )
@@ -226,18 +244,39 @@ def make_pipelined_pf_loop(
             ctrl_mb = jax.lax.dynamic_slice_in_dim(ctrl_chunk, mc * nm, nm, axis=1)
             keys_mb = _fold_keys(keys_chunk, mc, fold_microbatch_key)
 
-            def scan_step(carry, inputs):
-                features_t, ctrl_t, key_t = inputs
-
-                def log_lik_fn(parts):
-                    return defn.measurement_model.log_likelihoods_from_features(
-                        params["measurement_model"], parts, features_t,
-                        enabled=enabled,
-                    )
-
-                return defn._step_core(
-                    params, carry, log_lik_fn, ctrl_t, key_t, train=train
+            if particle_axis_name is not None:
+                from .particle_sharding import (
+                    sharded_pf_eval_step,
+                    sharded_pf_train_step,
                 )
+
+                sharded_step_fn = (
+                    sharded_pf_train_step if train else sharded_pf_eval_step
+                )
+
+                def scan_step(carry, inputs):
+                    features_t, ctrl_t, key_t = inputs
+                    (parts, log_w), est = sharded_step_fn(
+                        defn, params, tuple(carry), features_t, ctrl_t,
+                        key_t, axis_name=particle_axis_name,
+                        num_shards=particle_shards, enabled=enabled,
+                    )
+                    return ParticleBelief(parts, log_w), est
+
+            else:
+
+                def scan_step(carry, inputs):
+                    features_t, ctrl_t, key_t = inputs
+
+                    def log_lik_fn(parts):
+                        return defn.measurement_model.log_likelihoods_from_features(
+                            params["measurement_model"], parts, features_t,
+                            enabled=enabled,
+                        )
+
+                    return defn._step_core(
+                        params, carry, log_lik_fn, ctrl_t, key_t, train=train
+                    )
 
             return jax.lax.scan(
                 scan_step, belief_in, (feats_mb, ctrl_mb, keys_mb)
@@ -255,6 +294,13 @@ def make_pipelined_pf_loop(
     # With a data axis the belief shards over batch (leaf axis 0) and the
     # (T, N, ...) sequences over (pipe, data); keys stay time-sharded only
     # (every data shard consumes the same stream, decorrelated by the fold).
+    # With a particle axis the belief ALSO shards over M (particles leaf
+    # axis 1, weights leaf axis 1); estimates are psum-replicated across it.
+    particle_spec = (
+        PartitionSpec(data_axis_name, particle_axis_name, None)
+        if particle_axis_name is not None
+        else None
+    )
     batch_spec = (
         replicated if data_axis_name is None else PartitionSpec(data_axis_name)
     )
@@ -262,13 +308,19 @@ def make_pipelined_pf_loop(
         time_spec if data_axis_name is None
         else PartitionSpec(axis_name, data_axis_name)
     )
+    particles_spec = particle_spec if particle_spec else batch_spec
+    weights_spec = (
+        PartitionSpec(data_axis_name, particle_axis_name)
+        if particle_axis_name is not None
+        else batch_spec
+    )
 
     sharded = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(replicated, batch_spec, batch_spec, seq_spec, seq_spec,
-                  time_spec),
-        out_specs=(seq_spec, batch_spec, batch_spec),
+        in_specs=(replicated, particles_spec, weights_spec, seq_spec,
+                  seq_spec, time_spec),
+        out_specs=(seq_spec, particles_spec, weights_spec),
         check_vma=False,
     )
 
@@ -278,6 +330,12 @@ def make_pipelined_pf_loop(
         assert t % num_stages == 0, (
             f"T={t} not divisible by pipeline stages {num_stages}"
         )
+        if particle_axis_name is not None:
+            m_global = belief.particles.shape[1]
+            assert m_global % particle_shards == 0, (
+                f"M={m_global} not divisible by particle shards "
+                f"{particle_shards}"
+            )
         # The SAME per-timestep key stream the single-device loop draws.
         keys = jax.random.split(key, t)
         est, final_p, final_w = sharded(

@@ -586,3 +586,175 @@ def test_pipeline_bptt_grads_microbatched():
     ls, gs = jax.value_and_grad(loss_sliced)(params)
     np.testing.assert_allclose(float(lp), float(ls), rtol=1e-5)
     _param_grads_close(gp, gs, atol=1e-4, rtol=5e-3)
+
+
+# ---- composed pipe x particle (and the full 3-D data x pipe x particle) ----
+
+
+def test_pipe_particle_grid_bitwise_vs_standalone_sharded():
+    """(2 pipe x 4 particle) grid with micro=1 + fold disabled is BITWISE
+    the standalone particle-sharded loop on a 4-shard particle mesh: the
+    pipeline chunks the SAME per-timestep key stream and relays exact
+    carries, and the per-step body is literally particle_sharding.py's
+    shared sharded_pf_eval_step."""
+    from multimodalfilter_tpu.parallel.particle_sharding import (
+        make_particle_sharded_pf_loop,
+    )
+
+    key = jax.random.PRNGKey(21)
+    pf, params, belief, _, obs, controls = _setup(key, timesteps=16, batch=4)
+
+    mesh_1d = create_mesh(4, axis_names=("particle",))
+    loop_ref = make_particle_sharded_pf_loop(pf, mesh_1d)
+    final_ref, est_ref = loop_ref(params, belief, {"y": obs}, controls, key)
+
+    mesh = create_mesh(8, axis_names=("pipe", "particle"), shape=(2, 4))
+    loop = make_pipelined_pf_loop(
+        pf, mesh, num_microbatches=1, fold_microbatch_key=False,
+        particle_axis_name="particle",
+    )
+    final_p, est_p = loop(params, belief, {"y": obs}, controls, key)
+
+    np.testing.assert_array_equal(
+        np.asarray(final_p.particles), np.asarray(final_ref.particles)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(final_p.log_weights), np.asarray(final_ref.log_weights)
+    )
+    np.testing.assert_allclose(
+        np.asarray(est_p), np.asarray(est_ref), atol=1e-6, rtol=1e-6
+    )
+
+
+def test_pipe_particle_grid_tracks_kf_oracle():
+    """(2 pipe x 4 particle) grid, microbatched: tracks the closed-form KF
+    oracle, with the GLOBAL weight normalization holding across particle
+    shards (logsumexp over the sharded M axis == 0)."""
+    key = jax.random.PRNGKey(22)
+    pf, params, belief, states, obs, controls = _setup(
+        key, timesteps=32, batch=4
+    )
+    mesh = create_mesh(8, axis_names=("pipe", "particle"), shape=(2, 4))
+    loop = make_pipelined_pf_loop(
+        pf, mesh, num_microbatches=2, particle_axis_name="particle"
+    )
+    final_p, est = loop(params, belief, {"y": obs}, controls, key)
+
+    assert est.shape == (32, 4, STATE_DIM)
+    cov0 = jnp.broadcast_to(
+        0.1 * jnp.eye(STATE_DIM), (4, STATE_DIM, STATE_DIM)
+    )
+    expected = _closed_form_kf(states[0], cov0, obs, controls)
+    err = np.abs(np.asarray(est[5:]) - expected[5:])
+    assert err.mean() < 0.12, err.mean()
+    lse = jax.scipy.special.logsumexp(final_p.log_weights, axis=1)
+    np.testing.assert_allclose(np.asarray(lse), 0.0, atol=1e-4)
+
+
+def test_data_pipe_particle_3d_grid_tracks_kf_oracle():
+    """Full 3-D (2 data x 2 pipe x 2 particle) grid: batch DP x time
+    pipelining x particle sharding on one 8-device mesh. Tracks the KF
+    oracle with every trajectory filtered independently (no row collapse)
+    and globally-normalized weights."""
+    key = jax.random.PRNGKey(23)
+    pf, params, belief, states, obs, controls = _setup(
+        key, timesteps=32, batch=8
+    )
+    mesh = create_mesh(
+        8, axis_names=("data", "pipe", "particle"), shape=(2, 2, 2)
+    )
+    loop = make_pipelined_pf_loop(
+        pf, mesh, num_microbatches=2, data_axis_name="data",
+        particle_axis_name="particle",
+    )
+    final_p, est = loop(params, belief, {"y": obs}, controls, key)
+
+    assert est.shape == (32, 8, STATE_DIM)
+    cov0 = jnp.broadcast_to(
+        0.1 * jnp.eye(STATE_DIM), (8, STATE_DIM, STATE_DIM)
+    )
+    expected = _closed_form_kf(states[0], cov0, obs, controls)
+    err = np.abs(np.asarray(est[5:]) - expected[5:])
+    assert err.mean() < 0.12, err.mean()
+    per_traj = err.mean(axis=(0, 2))
+    assert (per_traj < 0.25).all(), per_traj
+    lse = jax.scipy.special.logsumexp(final_p.log_weights, axis=1)
+    np.testing.assert_allclose(np.asarray(lse), 0.0, atol=1e-4)
+
+
+def test_pipe_particle_grid_bptt_grads_match_plain():
+    """Train-mode (2 pipe x 4 particle) grid: loss and parameter grads
+    match the plain forward_loop(train=True) — the sharded train step
+    slices the GLOBAL noise stream (exactly the single-device draw), and
+    micro=1 + fold off consumes the same per-timestep keys."""
+    import dataclasses
+
+    key = jax.random.PRNGKey(24)
+    batch, t = 4, 16
+    states, obs, controls = _simulate(key, timesteps=t, batch=batch)
+    pf = dataclasses.replace(
+        _make_pf(num_particles=32), num_particles_train=32
+    )
+    params = pf.init(key)
+    cov0 = jnp.broadcast_to(
+        0.1 * jnp.eye(STATE_DIM), (batch, STATE_DIM, STATE_DIM)
+    )
+    belief = pf.initialize_beliefs(params, key, states[0], cov0, train=True)
+
+    mesh = create_mesh(8, axis_names=("pipe", "particle"), shape=(2, 4))
+    loop = make_pipelined_pf_loop(
+        pf, mesh, num_microbatches=1, train=True, fold_microbatch_key=False,
+        particle_axis_name="particle",
+    )
+
+    def loss_grid(p):
+        _, est = loop(p, belief, {"y": obs}, controls, key)
+        return jnp.mean((est - states[1:]) ** 2)
+
+    def loss_plain(p):
+        _, est = pf.forward_loop(
+            p, belief, {"y": obs}, controls, key, train=True
+        )
+        return jnp.mean((est - states[1:]) ** 2)
+
+    lg, gg = jax.value_and_grad(loss_grid)(params)
+    ls, gs = jax.value_and_grad(loss_plain)(params)
+    np.testing.assert_allclose(float(lg), float(ls), rtol=1e-6)
+    _param_grads_close(gg, gs)
+
+
+def test_facade_pipe_particle_grid_routing():
+    """StatefulFilter.use_pipeline auto-detects a "particle" mesh axis (PF
+    defs only): the cache key carries it, forward_loop runs the composed
+    grid with globally-normalized sharded weights, and a non-PF def is
+    rejected at configuration time."""
+    import pytest
+
+    from multimodalfilter_tpu.filtering.wrappers import StatefulFilter
+
+    key = jax.random.PRNGKey(25)
+    batch, t = 4, 16
+    states, obs, controls = _simulate(key, timesteps=t, batch=batch)
+
+    sf = StatefulFilter(_make_pf())
+    sf.eval()
+    mesh = create_mesh(8, axis_names=("pipe", "particle"), shape=(2, 4))
+    sf.use_pipeline(mesh, num_microbatches=2)
+    assert "particle" in sf.loop_cache_key(batch=batch)[4:]
+
+    cov0 = jnp.broadcast_to(
+        0.1 * jnp.eye(STATE_DIM), (batch, STATE_DIM, STATE_DIM)
+    )
+    sf.initialize_beliefs(mean=states[0], covariance=cov0)
+    est = sf.forward_loop(observations={"y": obs}, controls=controls)
+    assert est.shape == (t, batch, STATE_DIM)
+    assert np.isfinite(np.asarray(est)).all()
+    lse = jax.scipy.special.logsumexp(sf.belief.log_weights, axis=1)
+    np.testing.assert_allclose(np.asarray(lse), 0.0, atol=1e-4)
+
+    # Non-PF defs cannot shard a particle axis.
+    from test_filter_core import _make_ekf  # noqa: E402
+
+    sf2 = StatefulFilter(_make_ekf())
+    with pytest.raises(ValueError, match="particle"):
+        sf2.use_pipeline(mesh)
