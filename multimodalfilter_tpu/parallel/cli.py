@@ -10,6 +10,9 @@ CLIs can reach the data-parallel and temporal-pipeline paths without code:
                                                # composed 2-D grid: batch
                                                # over 2, time over 4, on
                                                # 8 chips total
+    eval_door.py  ... --particle-shards 8      # PF particle axis M over 8
+    eval_door.py  ... --data-parallel 2 --pipeline-stages 2 \
+                      --particle-shards 2      # full 3-D grid on 8 chips
 
 All build `jax.sharding.Mesh`es over the first N visible devices
 (parallel/mesh.py::create_mesh) and hard-fail if fewer are visible — on a
@@ -44,6 +47,15 @@ def add_parallelism_args(parser: argparse.ArgumentParser) -> None:
         "--pipeline-microbatches", type=int, default=None, metavar="M",
         help="microbatch count for --pipeline-stages (default: auto — the "
         "largest divisor of the (per-data-shard) batch up to 8)",
+    )
+    group.add_argument(
+        "--particle-shards", type=int, default=None, metavar="Q",
+        help="shard the PF particle axis M over Q devices inside each "
+        "(data, pipe) cell (particle-filter models only; M must divide by "
+        "Q — parallel/particle_sharding.py). Composes with "
+        "--data-parallel and --pipeline-stages into the full 3-D "
+        "data x pipe x particle grid; used alone it runs the "
+        "particle-sharded loop on a 1-stage pipe axis",
     )
 
 
@@ -84,15 +96,35 @@ def meshes_from_args(args) -> Tuple[Optional[object], Optional[object]]:
     pipeline_mesh = None
     if args.data_parallel is not None:
         mesh = create_mesh(args.data_parallel)
-    if args.pipeline_stages is not None:
+    particle = getattr(args, "particle_shards", None)
+    if args.pipeline_stages is not None or particle is not None:
+        # Grid axes in (data, pipe, particle) order; each is present only
+        # when its flag is set, except pipe — the facade routes all grid
+        # shardings through the pipelined loop, so a particle-only request
+        # rides a 1-stage pipe axis (semantically the standalone
+        # particle-sharded loop; bitwise at micro=1).
+        stages = args.pipeline_stages if args.pipeline_stages else 1
+        axes: list = []
+        shape: list = []
         if args.data_parallel is not None:
-            pipeline_mesh = create_mesh(
-                args.data_parallel * args.pipeline_stages,
-                axis_names=("data", "pipe"),
-                shape=(args.data_parallel, args.pipeline_stages),
-            )
-        else:
-            pipeline_mesh = create_mesh(
-                args.pipeline_stages, axis_names=("pipe",)
-            )
+            axes.append("data")
+            shape.append(args.data_parallel)
+        axes.append("pipe")
+        shape.append(stages)
+        if particle is not None:
+            axes.append("particle")
+            shape.append(particle)
+        total = 1
+        for s in shape:
+            total *= s
+        pipeline_mesh = create_mesh(
+            total, axis_names=tuple(axes), shape=tuple(shape)
+        )
+        if (
+            stages == 1
+            and getattr(args, "pipeline_microbatches", None) is None
+        ):
+            # A 1-stage pipe gains nothing from microbatching — splitting
+            # the batch would only shrink the per-step matmuls.
+            args.pipeline_microbatches = 1
     return mesh, pipeline_mesh

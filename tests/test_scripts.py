@@ -269,6 +269,102 @@ def test_eval_cli_parallelism_flags(tmp_path, monkeypatch):
     )
 
 
+def test_eval_cli_particle_shards_flag(tmp_path, monkeypatch):
+    """--particle-shards on the eval CLI shards the PF particle axis M
+    (parallel/cli.py): alone it rides a 1-stage pipe axis with
+    microbatching defaulted OFF (semantically the standalone
+    particle-sharded loop), and with --data-parallel/--pipeline-stages it
+    composes into the full 3-D data x pipe x particle grid. Routing is
+    asserted structurally via the pipelined-PF builder's kwargs."""
+    import json
+
+    monkeypatch.setenv("MMF_TPU_SYNTHESIZE_DATA", "1")
+    monkeypatch.setenv("MMF_TPU_SYNTH_TRAJ", "4")
+    monkeypatch.setenv("MMF_TPU_SYNTH_T", "16")
+    monkeypatch.setenv("MMF_TPU_EVAL_DEVICE_THROUGHPUT", "0")
+    monkeypatch.chdir(tmp_path)
+
+    import numpy as np
+
+    import crossmodal
+    from crossmodal.tasks import DoorTask
+    from multimodalfilter_tpu.experiments import Buddy
+    from multimodalfilter_tpu.parallel import temporal_pipeline as _tp
+
+    model = DoorTask.model_types["DoorParticleFilter"]()
+    buddy = Buddy("cli_particle_test", model)
+    buddy.set_metadata({
+        "model_type": "DoorParticleFilter",
+        "dataset_args": {},
+    })
+    buddy.save_checkpoint()
+
+    builder_calls = []
+    orig_make = _tp.make_pipelined_pf_loop
+
+    def recording_make(defn, mesh, *args, **kwargs):
+        builder_calls.append(
+            (tuple(mesh.axis_names), dict(mesh.shape),
+             kwargs.get("data_axis_name"), kwargs.get("particle_axis_name"),
+             kwargs.get("num_microbatches"))
+        )
+        return orig_make(defn, mesh, *args, **kwargs)
+
+    monkeypatch.setattr(_tp, "make_pipelined_pf_loop", recording_make)
+
+    import eval_door
+
+    # Particle-only: (1 pipe x 4 particle), micro defaults to 1 (a 1-stage
+    # pipe gains nothing from splitting the batch). M=300 -> 75 per shard.
+    eval_door.main([
+        "--experiment-name", "cli_particle_test", "--particle-shards", "4",
+        "--save",
+    ])
+    assert builder_calls, "particle eval never reached the pipeline builder"
+    axis_names, mesh_shape, data_axis, particle_axis, micro = builder_calls[0]
+    assert axis_names == ("pipe", "particle")
+    assert mesh_shape == {"pipe": 1, "particle": 4}
+    assert data_axis is None
+    assert particle_axis == "particle"
+    assert micro == 1
+    meta = json.loads(
+        (tmp_path / "metadata" / "cli_particle_test.json").read_text()
+    )
+    stats_q = meta["eval_results_stats"]
+    assert np.isfinite(stats_q["theta_rmse_deg_mean"])
+
+    # Full 3-D grid: all three flags compose on one 8-device mesh.
+    builder_calls.clear()
+    eval_door.main([
+        "--experiment-name", "cli_particle_test",
+        "--data-parallel", "2", "--pipeline-stages", "2",
+        "--particle-shards", "2", "--save",
+    ])
+    assert builder_calls, "3-D grid eval never reached the pipeline builder"
+    axis_names, mesh_shape, data_axis, particle_axis, _micro = builder_calls[0]
+    assert axis_names == ("data", "pipe", "particle")
+    assert mesh_shape == {"data": 2, "pipe": 2, "particle": 2}
+    assert data_axis == "data"
+    assert particle_axis == "particle"
+    meta = json.loads(
+        (tmp_path / "metadata" / "cli_particle_test.json").read_text()
+    )
+    stats_grid = meta["eval_results_stats"]
+    assert np.isfinite(stats_grid["theta_rmse_deg_mean"])
+    # Same checkpoint/data; PF resampling draws differ per grid geometry,
+    # so only gross misrouting is guarded here (see the KF test above for
+    # why the tolerance is loose; grid correctness is pinned bitwise in
+    # test_temporal_pipeline.py).
+    np.testing.assert_allclose(
+        stats_grid["theta_rmse_deg_mean"], stats_q["theta_rmse_deg_mean"],
+        rtol=0.35,
+    )
+
+    crossmodal.eval_helpers.configure(
+        buddy=buddy, task=DoorTask, dataset_args={},
+    )
+
+
 def test_eval_cli_serving_flag(tmp_path, monkeypatch):
     """--serving on the eval CLI sets MMF_TPU_SERVING=1 BEFORE the model is
     constructed (StatefulFilter reads the serving knobs at __init__ —
