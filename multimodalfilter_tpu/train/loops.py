@@ -300,6 +300,9 @@ def train_e2e(
     mesh's "pipe" axis with a checkpointed, differentiable GPipe schedule
     (parallel/temporal_pipeline.py) — requires (subsequence_length - 1)
     divisible by the stage count and batch_size by pipeline_microbatches.
+    A "data" axis on the same mesh shards the BPTT batch (2-D grid), and a
+    "particle" axis (PF definitions only) shards the particle axis M
+    (massive-M BPTT); all three compose into the 3-D training grid.
     Mutually exclusive with `mesh`."""
     assert mesh is None or pipeline_mesh is None, (
         "mesh (batch-DP) and pipeline_mesh (time-pipeline) are exclusive"
@@ -329,15 +332,36 @@ def train_e2e(
                 f"batch_size {batch_size} not divisible by the pipeline "
                 f"mesh's data axis ({pipeline_mesh.shape[data_axis]})"
             )
-        make = (
-            make_pipelined_pf_loop
-            if isinstance(defn, ParticleFilterDef)
-            else make_pipelined_filter_loop
+        # A "particle" axis additionally shards the PF particle axis M
+        # inside each stage (massive-M BPTT — the per-stage body becomes
+        # particle_sharding.sharded_pf_train_step, which slices the GLOBAL
+        # noise stream so grads match the plain loop). All three axes
+        # compose into the full 3-D data x pipe x particle training grid.
+        particle_axis = (
+            "particle" if "particle" in pipeline_mesh.axis_names else None
         )
-        pipelined_loop = make(
-            defn, pipeline_mesh, num_microbatches=pipeline_microbatches,
-            train=True, enabled=enabled, data_axis_name=data_axis,
-        )
+        if isinstance(defn, ParticleFilterDef):
+            if particle_axis is not None:
+                m_train = defn.num_particles_train
+                assert m_train % pipeline_mesh.shape[particle_axis] == 0, (
+                    f"num_particles_train {m_train} not divisible by the "
+                    f"mesh's particle axis "
+                    f"({pipeline_mesh.shape[particle_axis]})"
+                )
+            pipelined_loop = make_pipelined_pf_loop(
+                defn, pipeline_mesh, num_microbatches=pipeline_microbatches,
+                train=True, enabled=enabled, data_axis_name=data_axis,
+                particle_axis_name=particle_axis,
+            )
+        else:
+            assert particle_axis is None, (
+                "a 'particle' mesh axis shards the PF particle dimension — "
+                f"{type(defn).__name__} cannot train over it"
+            )
+            pipelined_loop = make_pipelined_filter_loop(
+                defn, pipeline_mesh, num_microbatches=pipeline_microbatches,
+                train=True, enabled=enabled, data_axis_name=data_axis,
+            )
 
         def loop_fn(sub, belief, obs_rest, ctrl_rest, key):
             return pipelined_loop(sub, belief, obs_rest, ctrl_rest, key)

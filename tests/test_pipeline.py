@@ -268,3 +268,40 @@ def test_train_e2e_data_pipe_grid(trained_pf, door_trajectories):
     ]
     assert any(not np.array_equal(a, b) for a, b in zip(before, after))
     th.configure(buddy=buddy, trajectories=door_trajectories)
+
+
+def test_train_e2e_3d_grid(trained_pf, door_trajectories):
+    """e2e BPTT on the FULL 3-D data x pipe x particle grid: batch 8 over a
+    2-wide data axis, 4-step windows over 2 pipeline stages, and the PF's
+    M=30 training particles sharded over a 2-wide particle axis (the
+    per-stage body is particle_sharding.sharded_pf_train_step, global
+    noise stream sliced so grads match the plain loop — pinned bitwise in
+    test_temporal_pipeline.py; here the full train_e2e wiring). Loss
+    finite, params move."""
+    import crossmodal
+    import jax
+    from multimodalfilter_tpu.parallel.mesh import create_mesh
+
+    model, buddy, _, _ = trained_pf
+    th = crossmodal.train_helpers
+    th.configure(
+        buddy=buddy, trajectories=door_trajectories,
+        pipeline_mesh=create_mesh(
+            8, axis_names=("data", "pipe", "particle"), shape=(2, 2, 2)
+        ),
+        pipeline_microbatches=2,
+    )
+    before = [
+        np.array(x) for x in jax.tree_util.tree_leaves(
+            get_by_path(model.params, "measurement_model")
+        )
+    ]
+    loss = th.train_e2e(subsequence_length=5, epochs=1, batch_size=8)
+    assert loss is not None and np.isfinite(loss)
+    after = [
+        np.array(x) for x in jax.tree_util.tree_leaves(
+            get_by_path(model.params, "measurement_model")
+        )
+    ]
+    assert any(not np.array_equal(a, b) for a, b in zip(before, after))
+    th.configure(buddy=buddy, trajectories=door_trajectories)
