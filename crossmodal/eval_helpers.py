@@ -111,6 +111,19 @@ def run_eval_stats(*eval_args, repeats: int = 20, **eval_kwargs) -> Dict[str, fl
 _eval_rng = np.random.default_rng(0)
 
 
+def _check_batch_divisible(n_traj: int, mesh) -> None:
+    """Shared DP-eval guard: the eval batch must split evenly over the
+    mesh's data axis (both the trajectory batch and the init tensors)."""
+    n_dev = mesh.shape["data"]
+    if n_traj % n_dev != 0:
+        raise ValueError(
+            f"data-parallel eval needs the eval batch (N={n_traj} "
+            f"trajectories) divisible by the mesh size ({n_dev}); "
+            f"pass a mesh over a divisor of N (--data-parallel) or "
+            f"evaluate unsharded"
+        )
+
+
 def _get_eval_batch():
     """Load + batch eval trajectories, cached across repeated runs.
 
@@ -155,15 +168,7 @@ def _get_eval_batch():
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            n_traj = controls.shape[1]
-            n_dev = mesh.shape["data"]
-            if n_traj % n_dev != 0:
-                raise ValueError(
-                    f"data-parallel eval needs the eval batch (N={n_traj} "
-                    f"trajectories) divisible by the mesh size ({n_dev}); "
-                    f"pass a mesh over a divisor of N (--data-parallel) or "
-                    f"evaluate unsharded"
-                )
+            _check_batch_divisible(controls.shape[1], mesh)
 
             def put(v):
                 spec = PartitionSpec(None, "data", *([None] * (v.ndim - 2)))
@@ -215,24 +220,16 @@ def _device_throughput(observations, controls, states, chain: int = 4) -> float:
 
     pipeline = filter_model._pipeline
     if pipeline is not None:
-        # Pad T-1 to the stage count once, outside the timed chain; the
-        # useful-step count below stays (t-1)*n, so padding overhead is
-        # billed — the same overhead real pipelined eval pays.
+        # Pad T-1 to the stage count once, outside the timed chain, via the
+        # SAME helper _pipelined_forward_loop uses; the useful-step count
+        # below stays (t-1)*n, so padding overhead is billed — the same
+        # overhead real pipelined eval pays.
+        from multimodalfilter_tpu.filtering.wrappers import pad_time_to_stages
+
         mesh, axis_name = pipeline[0], pipeline[1]
-        stages = mesh.shape[axis_name]
-        pad = (-(t - 1)) % stages
-        if pad:
-            obs_rest = {
-                k: jnp.concatenate(
-                    [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
-                )
-                for k, v in obs_rest.items()
-            }
-            ctrl_rest = jnp.concatenate(
-                [ctrl_rest,
-                 jnp.zeros((pad,) + ctrl_rest.shape[1:], ctrl_rest.dtype)],
-                axis=0,
-            )
+        obs_rest, ctrl_rest = pad_time_to_stages(
+            obs_rest, ctrl_rest, mesh.shape[axis_name]
+        )
         pipe_fn = filter_model._get_pipeline_fn(batch=n)
 
         def loop_fn(params, b, obs, ctrl, key):
@@ -310,14 +307,7 @@ def run_eval(measurement_initialize=False, eval_dynamics=False) -> Dict[str, flo
         if init_key not in _eval_batch_cache:
             cov = np.tile(np.eye(state_dim, dtype=np.float32) * 0.1, (n, 1, 1))
             if mesh is not None:
-                n_dev = mesh.shape["data"]
-                if n % n_dev != 0:
-                    raise ValueError(
-                        f"data-parallel eval needs the eval batch "
-                        f"(N={n} trajectories) divisible by the mesh size "
-                        f"({n_dev}); pass a mesh over a divisor of N "
-                        f"(--data-parallel) or evaluate unsharded"
-                    )
+                _check_batch_divisible(n, mesh)
                 from jax.sharding import NamedSharding, PartitionSpec
 
                 def put0(v):
@@ -392,7 +382,13 @@ def run_eval(measurement_initialize=False, eval_dynamics=False) -> Dict[str, flo
 
     # --- RMSE (eval_helpers.py:148-163) ---
     true_states = states[1:]
-    start_truncation = 30
+    # Reference truncation (eval_helpers.py:148-163): the first 30 steps are
+    # filter burn-in and excluded from RMSE. Real eval trajectories are
+    # hundreds of steps; synthetic smoke evals can be shorter than 31, which
+    # would leave an EMPTY metric slice (RMSE = NaN from a mean over zero
+    # elements) — fall back to truncating the first half so short-T smoke
+    # runs stay meaningful. Real-length evals are unaffected.
+    start_truncation = 30 if (t - 1) > 30 else (t - 1) // 2
     per_batch_mse = np.mean(
         to_numpy(predicted_states[start_truncation:] - true_states[start_truncation:])
         ** 2,

@@ -41,6 +41,27 @@ def _mesh_fingerprint(mesh) -> tuple:
     )
 
 
+def pad_time_to_stages(observations, controls, stages: int):
+    """Zero-pad the leading time axis of an (obs pytree, controls) pair up
+    to a multiple of `stages`. THE padding rule for pipelined rollouts:
+    `_pipelined_forward_loop` and `eval_helpers._device_throughput` both
+    call this, so the timed program cannot silently diverge from the one
+    run_eval executes."""
+
+    def pad_fn(x):
+        pad = (-x.shape[0]) % stages
+        if not pad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+        )
+
+    return (
+        jax.tree_util.tree_map(pad_fn, observations),
+        pad_fn(controls),
+    )
+
+
 def _fusion_count(definition) -> Optional[int]:
     """Number of fused per-modality models, searching one level deep
     (e.g. a PF whose measurement model is a crossmodal fusion)."""
@@ -239,6 +260,13 @@ class StatefulFilter:
         if mesh is None:
             self._pipeline = None
         else:
+            if axis_name not in mesh.axis_names:
+                raise ValueError(
+                    f"pipeline mesh has axes {tuple(mesh.axis_names)} but no "
+                    f"'{axis_name}' axis — pass a mesh with a pipeline axis "
+                    "(e.g. create_mesh(8, ('pipe',)) or a composed "
+                    "('data', 'pipe') grid), or set axis_name to match."
+                )
             data_axis = (
                 "data"
                 if "data" in mesh.axis_names and axis_name != "data"
@@ -258,6 +286,21 @@ class StatefulFilter:
                         "dimension — only ParticleFilterDef filters can "
                         f"pipeline over it (got "
                         f"{type(self.definition).__name__})"
+                    )
+                if getattr(self.definition, "pallas_resample", False):
+                    # The sharded step's resampling is inherently collective
+                    # (global CDF via shard mass offsets + all_gather), so the
+                    # fused single-chip Pallas kernel cannot apply; be loud
+                    # rather than silently serving a different stack than
+                    # --serving / MMF_TPU_PALLAS advertised.
+                    import warnings
+
+                    warnings.warn(
+                        "particle-axis sharding uses the collective jnp "
+                        "resampler; the fused Pallas PF kernel "
+                        "(MMF_TPU_PALLAS / --serving) is bypassed inside "
+                        "the particle-sharded step",
+                        stacklevel=2,
                     )
             self._pipeline = (
                 mesh, axis_name,
@@ -520,8 +563,6 @@ class StatefulFilter:
     def _pipelined_forward_loop(self, observations, controls):
         """forward_loop over the configured temporal pipeline (use_pipeline),
         with T zero-padded to the stage count and padded estimates dropped."""
-        import jax.numpy as jnp
-
         mesh, axis_name, _, _data_axis, _particle_axis = self._pipeline
         stages = mesh.shape[axis_name]
         # Params may be COMMITTED to a different device set by an earlier
@@ -542,18 +583,9 @@ class StatefulFilter:
         fn = self._get_pipeline_fn(batch=controls.shape[1])
         observations = to_device(observations)
         t = controls.shape[0]
-        pad = (-t) % stages
-        if pad:
-            observations = jax.tree_util.tree_map(
-                lambda x: jnp.concatenate(
-                    [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
-                ),
-                observations,
-            )
-            controls = jnp.concatenate(
-                [controls, jnp.zeros((pad,) + controls.shape[1:], controls.dtype)],
-                axis=0,
-            )
+        observations, controls = pad_time_to_stages(
+            observations, controls, stages
+        )
         self._belief, estimates = fn(
             self.params, self._belief, observations, controls, self._next_key()
         )

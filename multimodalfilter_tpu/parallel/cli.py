@@ -55,7 +55,9 @@ def add_parallelism_args(parser: argparse.ArgumentParser) -> None:
         "Q — parallel/particle_sharding.py). Composes with "
         "--data-parallel and --pipeline-stages into the full 3-D "
         "data x pipe x particle grid; used alone it runs the "
-        "particle-sharded loop on a 1-stage pipe axis",
+        "particle-sharded loop on a 1-stage pipe axis. Note: the sharded "
+        "resampler is collective (all_gather + searchsorted), so the fused "
+        "Pallas PF kernel from --serving does not apply inside it",
     )
 
 
@@ -94,6 +96,13 @@ def meshes_from_args(args) -> Tuple[Optional[object], Optional[object]]:
 
     mesh = None
     pipeline_mesh = None
+    for flag in ("data_parallel", "pipeline_stages",
+                 "pipeline_microbatches", "particle_shards"):
+        val = getattr(args, flag, None)
+        if val is not None and val < 1:
+            raise SystemExit(
+                f"--{flag.replace('_', '-')} must be >= 1 (got {val})"
+            )
     if args.data_parallel is not None:
         mesh = create_mesh(args.data_parallel)
     particle = getattr(args, "particle_shards", None)
@@ -103,7 +112,9 @@ def meshes_from_args(args) -> Tuple[Optional[object], Optional[object]]:
         # shardings through the pipelined loop, so a particle-only request
         # rides a 1-stage pipe axis (semantically the standalone
         # particle-sharded loop; bitwise at micro=1).
-        stages = args.pipeline_stages if args.pipeline_stages else 1
+        stages = (
+            args.pipeline_stages if args.pipeline_stages is not None else 1
+        )
         axes: list = []
         shape: list = []
         if args.data_parallel is not None:

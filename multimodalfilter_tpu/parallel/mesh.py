@@ -68,13 +68,14 @@ def initialize_distributed(
         coordinator_address = coordinator_address or os.environ.get(
             "JAX_COORDINATOR_ADDRESS"
         )
-        # Only auto-detect (no explicit coordinator) when the platform can
-        # actually answer — a real TPU pod VM. Tunneled single-chip setups
-        # and CPU runs stay single-process.
-        auto_tpu = (
-            jax.default_backend() == "tpu"
-            and os.environ.get("TPU_WORKER_HOSTNAMES") is not None
-        )
+        # Only auto-detect (no explicit coordinator) on a real TPU pod VM,
+        # and ONLY from the environment: probing the backend here (e.g.
+        # jax.default_backend()) would initialize XLA first, after which
+        # jax.distributed.initialize() refuses to run ("must be called
+        # before any JAX computations"). TPU_WORKER_HOSTNAMES is set by the
+        # pod runtime on every pod VM; tunneled single-chip setups and CPU
+        # runs don't have it and stay single-process.
+        auto_tpu = os.environ.get("TPU_WORKER_HOSTNAMES") is not None
         if coordinator_address is None and not auto_tpu:
             return jax.process_count()  # single-process run; nothing to do
         jax.distributed.initialize(

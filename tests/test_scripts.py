@@ -419,3 +419,35 @@ def test_eval_cli_serving_flag(tmp_path, monkeypatch):
     monkeypatch.setenv("MMF_TPU_SERVING", "0")
     eval_door.main(["--experiment-name", "cli_serving_test"])
     assert seen["serving_env_at_build"] == "0"
+
+
+def test_parallelism_flag_validation():
+    """meshes_from_args rejects non-positive flag values instead of
+    silently coercing --pipeline-stages 0 to a 1-stage pipe
+    (parallel/cli.py)."""
+    import argparse
+
+    import pytest
+
+    from multimodalfilter_tpu.parallel.cli import (
+        add_parallelism_args,
+        meshes_from_args,
+    )
+
+    parser = argparse.ArgumentParser()
+    add_parallelism_args(parser)
+    for argv in (
+        ["--pipeline-stages", "0"],
+        ["--data-parallel", "-2"],
+        ["--particle-shards", "0"],
+        ["--pipeline-stages", "2", "--pipeline-microbatches", "0"],
+    ):
+        with pytest.raises(SystemExit):
+            meshes_from_args(parser.parse_args(argv))
+
+    # Valid combinations still build the composed grid.
+    mesh, pipeline_mesh = meshes_from_args(
+        parser.parse_args(["--data-parallel", "2", "--pipeline-stages", "4"])
+    )
+    assert mesh.shape == {"data": 2}
+    assert pipeline_mesh.shape == {"data": 2, "pipe": 4}

@@ -758,3 +758,29 @@ def test_facade_pipe_particle_grid_routing():
     sf2 = StatefulFilter(_make_ekf())
     with pytest.raises(ValueError, match="particle"):
         sf2.use_pipeline(mesh)
+
+
+def test_use_pipeline_config_validation():
+    """Misconfigurations fail loudly at use_pipeline time, not with a
+    KeyError deep inside the first forward_loop: a mesh without the
+    pipeline axis is rejected, and a Pallas-enabled PF def warns that the
+    particle-sharded step bypasses the fused kernel."""
+    import dataclasses
+    import warnings
+
+    import pytest
+
+    from multimodalfilter_tpu.filtering.wrappers import StatefulFilter
+
+    sf = StatefulFilter(_make_pf())
+    # Plain DP mesh (axis "data") has no "pipe" axis.
+    with pytest.raises(ValueError, match="pipe"):
+        sf.use_pipeline(create_mesh(8))
+
+    # Pallas PF def + particle axis -> loud bypass warning (the sharded
+    # resampler is collective; the fused kernel cannot apply inside it).
+    pallas_def = dataclasses.replace(_make_pf(), pallas_resample=True)
+    sf2 = StatefulFilter(pallas_def)
+    mesh = create_mesh(8, axis_names=("pipe", "particle"), shape=(2, 4))
+    with pytest.warns(UserWarning, match="Pallas"):
+        sf2.use_pipeline(mesh)
