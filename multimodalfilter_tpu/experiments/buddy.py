@@ -42,6 +42,20 @@ DEFAULT_METADATA_DIR = "metadata"
 DEFAULT_LOG_DIR = "logs"
 
 
+class _OptimizerDict(dict):
+    """Buddy's named-optimizer dict; `.clear()` (the curricula's
+    between-phase optimizer reset) also drops any checkpoint-restored
+    warm-start states stashed for not-yet-created optimizers."""
+
+    def __init__(self, owner: "Buddy"):
+        super().__init__()
+        self._owner = owner
+
+    def clear(self) -> None:
+        super().clear()
+        self._owner._pending_optimizer_state.clear()
+
+
 class Buddy:
     def __init__(
         self,
@@ -60,7 +74,15 @@ class Buddy:
         self._verbose = verbose
         self._model = None
         self._metadata: Dict[str, Any] = {}
-        self._optimizer_dict: Dict[str, Any] = {}
+        # Checkpointed optimizer states for optimizers that don't exist yet
+        # (created lazily by the train loops); consumed by
+        # train.optim.get_named_optimizer so a resumed phase starts with
+        # warm Adam moments instead of fresh state. Curricula reset
+        # optimizers between phases via _optimizer_dict.clear() — that must
+        # drop the stash too, or a later same-named optimizer would
+        # warm-start from a pre-reset checkpoint.
+        self._pending_optimizer_state: Dict[str, Any] = {}
+        self._optimizer_dict: Dict[str, Any] = _OptimizerDict(self)
         self._steps = 0
         self._logger = MetricLogger(log_dir, experiment_name)
         backend = checkpoint_backend or os.environ.get(
@@ -265,6 +287,10 @@ class Buddy:
         # with warm Adam moments; mismatches fall back to fresh state).
         for name, saved in state.get("optimizers", {}).items():
             if name not in self._optimizer_dict:
+                # Not created yet (optimizers are made lazily at the first
+                # train call) — stash so get_named_optimizer warm-starts it
+                # when the resumed training phase first asks for it.
+                self._pending_optimizer_state[name] = saved
                 continue
             opt = self._optimizer_dict[name]
             try:

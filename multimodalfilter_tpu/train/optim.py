@@ -54,9 +54,21 @@ def get_named_optimizer(buddy, name: str, params, learning_rate: float = DEFAULT
     (capability parity with Buddy._optimizer_dict, train_door.py:130)."""
     if name not in buddy._optimizer_dict:
         tx = make_optimizer(learning_rate)
+        state = tx.init(params)
+        # Warm-start from a restored checkpoint (Buddy.load_checkpoint
+        # stashes states for optimizers that didn't exist yet); structure
+        # mismatches fall back to the fresh state.
+        saved = getattr(buddy, "_pending_optimizer_state", {}).pop(name, None)
+        if saved is not None:
+            from flax import serialization
+
+            try:
+                state = serialization.from_state_dict(state, saved)
+            except (KeyError, ValueError, TypeError):
+                pass
         buddy._optimizer_dict[name] = {
             "tx": tx,
-            "state": tx.init(params),
+            "state": state,
             "learning_rate": learning_rate,
         }
     return buddy._optimizer_dict[name]

@@ -46,6 +46,14 @@ def main(argv=None):
     Task.add_dataset_arguments(parser)
     add_parallelism_args(parser)
     add_serving_arg(parser)
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="resume a preempted/interrupted run: phases whose labeled "
+        "checkpoint already exists are skipped, the latest completed "
+        "phase checkpoint is restored (params + optimizer state), and "
+        "training continues from the first incomplete phase "
+        "(crossmodal/resume.py)",
+    )
     args = parser.parse_args(argv)
     # --serving on a TRAIN CLI: training itself provably strips the
     # serving transforms (train loops — bitwise plain training), so the
@@ -98,7 +106,13 @@ def main(argv=None):
         pipeline_microbatches=args.pipeline_microbatches,
     )
 
-    run_curriculum(filter_model, buddy, train_helpers, eval_helpers)
+    from crossmodal.resume import ResumableCurriculum
+
+    rc = ResumableCurriculum(
+        buddy, train_helpers, eval_helpers, enabled=args.resume
+    )
+    run_curriculum(filter_model, rc.buddy, rc.train_helpers, rc.eval_helpers)
+    rc.finish()
 
     buddy.add_metadata(
         {
