@@ -14,7 +14,9 @@ Prints ONE JSON line:
    "train_steps_per_sec": e2e BPTT training throughput (reference-curriculum
    config B=32),
    "train_steps_per_sec_saturated_bf16": same at the production config
-   (B=512, bf16 encoders — the measured train-side saturation point)}
+   (B=512, bf16 encoders — the measured train-side saturation point),
+   "latency_us_per_step_n1": single-stream serving latency (N=1,
+   production stack; chained timing, tunnel RTT amortized)}
 
 The baseline is an architecture-equivalent PyTorch-CPU implementation of the
 same recursion (dynamics propagation + 2 measurement models + gate +
@@ -668,6 +670,25 @@ def main():
         except Exception as exc:
             log(f"[bench] best serving bench failed: {exc}")
 
+    # Single-stream serving latency: ONE trajectory (N=1) under the
+    # production stack. Production serving cares about this tail as much
+    # as saturated throughput; the chained timer amortizes the ~30ms
+    # tunnel RTT so per-step device latency = time / (T * CHAIN).
+    latency_us = None
+    if (
+        os.environ.get("BENCH_LATENCY", "1") == "1"
+        and not over_budget("N=1 latency config")
+    ):
+        try:
+            lat_sps, _ = bench_jax(batch=1, bf16=True, fold=True)
+            latency_us = 1e6 / lat_sps
+            log(
+                f"[bench] single-stream latency: {latency_us:.1f} us / "
+                "filter-step (N=1, production stack)"
+            )
+        except Exception as exc:
+            log(f"[bench] latency bench failed: {exc}")
+
     train_sps = None
     if not over_budget("train bench"):
         try:
@@ -760,6 +781,9 @@ def main():
                     round(sat_best_sps, 1) if sat_best_sps else None
                 ),
                 "mfu": round(mfu, 4) if mfu else None,
+                "latency_us_per_step_n1": (
+                    round(latency_us, 1) if latency_us else None
+                ),
                 "train_steps_per_sec": round(train_sps, 1) if train_sps else None,
                 "train_steps_per_sec_saturated_bf16": (
                     round(train_sat_sps, 1) if train_sat_sps else None

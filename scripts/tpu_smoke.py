@@ -448,7 +448,58 @@ def smoke_timing():
     )
 
 
+
+@check("AOT export bundle replays the serving stack on-chip")
+def smoke_export_replay():
+    """Export a CMPF bundle under the full production serving stack
+    (Pallas PF kernel + bf16 encoders + folded tail) ON the chip, reload
+    it, and replay: estimates must match the live facade bitwise. The CPU
+    tests (test_export.py) cannot catch tpu-only lowering issues in the
+    serialized Pallas custom calls; this does."""
+    import shutil
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from crossmodal.tasks import DoorTask
+    from multimodalfilter_tpu.experiments.export import (
+        export_serving_bundle,
+        load_serving_bundle,
+    )
+
+    os.environ["MMF_TPU_SERVING"] = "1"
+    try:
+        model = DoorTask.model_types["DoorCrossmodalParticleFilter"]()
+    finally:
+        del os.environ["MMF_TPU_SERVING"]
+    model.eval()
+    n, t = 4, 8
+    obs, controls, _ = _flagship_batch(n, t)
+    mean = np.zeros((n, 3), np.float32)
+    cov = np.broadcast_to(np.eye(3, dtype=np.float32) * 0.1, (n, 3, 3)).copy()
+
+    out = tempfile.mkdtemp(prefix="mmf_export_smoke_")
+    try:
+        bundle = export_serving_bundle(
+            model, out, observations=obs, controls=controls
+        )
+        model.initialize_beliefs(mean=mean, covariance=cov)
+        want = np.asarray(
+            model.forward_loop(observations=obs, controls=controls)
+        )
+        served = load_serving_bundle(bundle, seed=0)
+        served.initialize_beliefs(mean=mean, covariance=cov)
+        got = np.asarray(
+            served.forward_loop(observations=obs, controls=controls)
+        )
+        np.testing.assert_array_equal(want, got)
+        assert np.all(np.isfinite(got))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def main():
+
     import jax
 
     print(f"[tpu_smoke] devices: {jax.devices()}", flush=True)
@@ -469,6 +520,7 @@ def main():
     smoke_bf16()
     smoke_fold_enc()
     smoke_train_step()
+    smoke_export_replay()
     smoke_timing()
 
     print(
