@@ -33,6 +33,12 @@ def main(argv=None):
     parser.add_argument("--checkpoint-label", type=str, default=None)
     parser.add_argument("--save", action="store_true")
     parser.add_argument("--measurement_init", action="store_true")
+    parser.add_argument(
+        "--profile-dir", type=str, default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the eval rollouts into DIR "
+        "(view with TensorBoard's profile plugin or xprof); traces include "
+        "the configured serving/parallelism stack",
+    )
     add_parallelism_args(parser)
     add_serving_arg(parser)
     args = parser.parse_args(argv)
@@ -57,9 +63,12 @@ def main(argv=None):
         pipeline_mesh=pipeline_mesh,
         pipeline_microbatches=args.pipeline_microbatches,
     )
-    results = crossmodal.eval_helpers.run_eval_stats(
-        measurement_initialize=args.measurement_init
-    )
+    from multimodalfilter_tpu.utils.debug import profile_trace
+
+    with profile_trace(args.profile_dir, enabled=args.profile_dir is not None):
+        results = crossmodal.eval_helpers.run_eval_stats(
+            measurement_initialize=args.measurement_init
+        )
 
     if args.save:
         buddy.add_metadata({"eval_results_stats": results})

@@ -194,3 +194,42 @@ def test_bundle_shape_mismatch_fails(tmp_path):
     ctrl_bad = np.concatenate([ctrl, ctrl], axis=0)
     with pytest.raises(ValueError):
         served.forward_loop(observations=obs_bad, controls=ctrl_bad)
+
+
+def test_bundle_streaming_single_step(tmp_path):
+    """Online serving: a T=1 bundle consumes one measurement per call (the
+    robotics control-loop pattern — cf. latency_us_per_step_n1 in bench).
+    Belief and key schedule persist across calls, so N streamed steps from
+    the bundle must match N streamed steps of the live facade bitwise."""
+    model = DoorTask.model_types["DoorParticleFilter"]()
+    model.eval()
+    obs, ctrl = _sequence()
+    bundle = export_serving_bundle(
+        model, str(tmp_path / "bundle_t1"),
+        observations={k: jnp.asarray(v[:1]) for k, v in obs.items()},
+        controls=jnp.asarray(ctrl[:1]),
+    )
+
+    mean, cov = _moments(model.state_dim)
+    model.initialize_beliefs(mean=mean, covariance=cov)
+    want = [
+        np.asarray(model.forward_loop(
+            observations={k: v[t:t + 1] for k, v in obs.items()},
+            controls=ctrl[t:t + 1],
+        ))[0]
+        for t in range(T)
+    ]
+
+    served = load_serving_bundle(bundle, seed=0)
+    served.initialize_beliefs(mean=mean, covariance=cov)
+    got = [
+        np.asarray(served.forward_loop(
+            observations={k: v[t:t + 1] for k, v in obs.items()},
+            controls=ctrl[t:t + 1],
+        ))[0]
+        for t in range(T)
+    ]
+
+    for t in range(T):
+        np.testing.assert_array_equal(want[t], got[t])
+    assert np.all(np.isfinite(np.asarray(got)))

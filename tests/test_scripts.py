@@ -420,6 +420,16 @@ def test_eval_cli_serving_flag(tmp_path, monkeypatch):
     eval_door.main(["--experiment-name", "cli_serving_test"])
     assert seen["serving_env_at_build"] == "0"
 
+    # --profile-dir wraps the rollout in a jax.profiler trace and writes
+    # the capture there (utils/debug.py::profile_trace).
+    trace_dir = tmp_path / "trace"
+    eval_door.main([
+        "--experiment-name", "cli_serving_test",
+        "--profile-dir", str(trace_dir),
+    ])
+    assert trace_dir.is_dir()
+    assert any(trace_dir.rglob("*")), "profiler trace directory is empty"
+
 
 def test_parallelism_flag_validation():
     """meshes_from_args rejects non-positive flag values instead of
