@@ -68,14 +68,17 @@ def initialize_distributed(
         coordinator_address = coordinator_address or os.environ.get(
             "JAX_COORDINATOR_ADDRESS"
         )
-        # Only auto-detect (no explicit coordinator) on a real TPU pod VM,
-        # and ONLY from the environment: probing the backend here (e.g.
-        # jax.default_backend()) would initialize XLA first, after which
-        # jax.distributed.initialize() refuses to run ("must be called
-        # before any JAX computations"). TPU_WORKER_HOSTNAMES is set by the
-        # pod runtime on every pod VM; tunneled single-chip setups and CPU
-        # runs don't have it and stay single-process.
-        auto_tpu = os.environ.get("TPU_WORKER_HOSTNAMES") is not None
+        # Only auto-detect (no explicit coordinator) on a real MULTI-HOST
+        # TPU pod, and ONLY from the environment: probing the backend here
+        # (e.g. jax.default_backend()) would initialize XLA first, after
+        # which jax.distributed.initialize() refuses to run ("must be
+        # called before any JAX computations"). The pod runtime sets
+        # TPU_WORKER_HOSTNAMES to the comma-separated host list; a
+        # single-entry list (incl. tunneled single-chip setups, where it is
+        # "localhost") needs no distributed runtime and stays
+        # single-process.
+        hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        auto_tpu = len([h for h in hostnames.split(",") if h.strip()]) > 1
         if coordinator_address is None and not auto_tpu:
             return jax.process_count()  # single-process run; nothing to do
         jax.distributed.initialize(

@@ -81,3 +81,43 @@ def test_global_batch_feeds_sharded_compute():
         float(np.mean(np.sum(local * local, axis=-1))),
         rtol=1e-6,
     )
+
+
+def test_initialize_distributed_pod_autodetect_routing(monkeypatch):
+    """On a pod VM (TPU_WORKER_HOSTNAMES set) the initializer must reach
+    jax.distributed.initialize WITHOUT probing the backend first —
+    jax.default_backend() initializes XLA, after which distributed init
+    refuses to run ("must be called before any JAX computations"). Pin the
+    env-only detection by recording the call."""
+    calls = {}
+
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda **kw: calls.setdefault("kw", kw),
+    )
+
+    def backend_probe(*a, **k):  # pragma: no cover - must never run
+        raise AssertionError(
+            "initialize_distributed probed the backend before "
+            "jax.distributed.initialize"
+        )
+
+    monkeypatch.setattr(jax, "default_backend", backend_probe)
+
+    # Pod auto-detect: env var only, no explicit coordinator.
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    initialize_distributed()
+    assert calls["kw"]["coordinator_address"] is None
+
+    # Explicit coordinator: forwarded verbatim.
+    calls.clear()
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    initialize_distributed(
+        coordinator_address="10.0.0.1:1234", num_processes=2, process_id=1
+    )
+    assert calls["kw"] == {
+        "coordinator_address": "10.0.0.1:1234",
+        "num_processes": 2,
+        "process_id": 1,
+    }
