@@ -34,6 +34,15 @@ def main(argv=None):
     parser.add_argument("--save", action="store_true")
     parser.add_argument("--measurement_init", action="store_true")
     parser.add_argument(
+        "--batched-repeats", action="store_true",
+        help="fold the 20 stochastic eval repeats into the batch axis "
+        "(one (T, N*R) rollout per chunk instead of R sequential rollouts "
+        "— the N=16 eval batch under-fills the chip ~16x, so this buys "
+        "most of that factor in eval wall time; statistically identical, "
+        "per-repeat stats unchanged). Equivalent to "
+        "MMF_TPU_EVAL_BATCH_REPEATS=1",
+    )
+    parser.add_argument(
         "--profile-dir", type=str, default=None, metavar="DIR",
         help="capture a jax.profiler trace of the eval rollouts into DIR "
         "(view with TensorBoard's profile plugin or xprof); traces include "
@@ -43,6 +52,8 @@ def main(argv=None):
     add_serving_arg(parser)
     args = parser.parse_args(argv)
     apply_serving_arg(args)  # before model build — knobs read at __init__
+    if args.batched_repeats:
+        os.environ["MMF_TPU_EVAL_BATCH_REPEATS"] = "1"
     mesh, pipeline_mesh = meshes_from_args(args)
 
     set_cache_path(crossmodal.__path__[0] + "/../.cache")

@@ -256,3 +256,60 @@ def test_sharded_eval_uneven_batch_raises(env):
             eh.run_eval()
     finally:
         eh.configure(buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS)
+
+
+def test_batched_repeat_stats_match_sequential_kf(env, monkeypatch):
+    """MMF_TPU_EVAL_BATCH_REPEATS=1 folds the stochastic eval repeats into
+    the batch axis (crossmodal/eval_helpers.py::_batched_repeat_results).
+    On a deterministic filter (KF) every repeat is identical, so the
+    batched stats must match the sequential stats and the spread must be
+    ~zero; the cap forces the 2-chunk path too."""
+    from crossmodal.tasks import DoorTask
+
+    buddy = env
+    eh = crossmodal.eval_helpers
+    monkeypatch.setenv("MMF_TPU_EVAL_DEVICE_THROUGHPUT", "0")
+
+    eh.configure(buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS)
+    seq = eh.run_eval_stats(repeats=4)
+
+    monkeypatch.setenv("MMF_TPU_EVAL_BATCH_REPEATS", "1")
+    monkeypatch.setenv("MMF_TPU_EVAL_BATCH_REPEATS_CAP", "32")  # rc=2, 2 chunks
+    eh.configure(buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS)
+    bat = eh.run_eval_stats(repeats=4)
+
+    for k in ("theta_rmse_deg", "x_rmse_cm", "y_rmse_cm"):
+        np.testing.assert_allclose(
+            bat[f"{k}_mean"], seq[f"{k}_mean"], rtol=1e-5
+        )
+        assert bat[f"{k}_std"] < 1e-5 * abs(bat[f"{k}_mean"]) + 1e-8
+
+
+def test_batched_repeat_stats_pf_stochastic(env, tmp_path, monkeypatch):
+    """Batched repeats on a STOCHASTIC filter (PF): per-repeat slices draw
+    independent noise, so the spread across repeats is nonzero and the
+    mean lands near the sequential mean (distributionally identical)."""
+    from crossmodal.tasks import DoorTask
+
+    model = DoorTask.model_types["DoorParticleFilter"]()
+    buddy = Buddy(
+        "batched_pf_eval_test", model,
+        checkpoint_dir=str(tmp_path / "c"), metadata_dir=str(tmp_path / "m"),
+        log_dir=str(tmp_path / "l"), verbose=False,
+    )
+    eh = crossmodal.eval_helpers
+    monkeypatch.setenv("MMF_TPU_EVAL_DEVICE_THROUGHPUT", "0")
+
+    eh.configure(buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS)
+    seq = eh.run_eval_stats(repeats=4)
+
+    monkeypatch.setenv("MMF_TPU_EVAL_BATCH_REPEATS", "1")
+    eh.configure(buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS)
+    bat = eh.run_eval_stats(repeats=4)
+
+    assert np.isfinite(bat["theta_rmse_deg_mean"])
+    assert bat["theta_rmse_deg_std"] > 0  # independent per-repeat draws
+    # Untrained-PF RMSE across repeats is noisy; just pin the same regime.
+    np.testing.assert_allclose(
+        bat["theta_rmse_deg_mean"], seq["theta_rmse_deg_mean"], rtol=0.5
+    )
