@@ -155,6 +155,37 @@ def _check_batch_divisible(n_traj: int, mesh) -> None:
         )
 
 
+def _burn_in_truncation(t: int) -> int:
+    """Steps excluded from RMSE at the front of a T-step rollout.
+
+    Reference truncation (eval_helpers.py:148-163): the first 30 steps are
+    filter burn-in. Real eval trajectories are hundreds of steps; synthetic
+    smoke evals can be shorter than 31, which would leave an EMPTY metric
+    slice (RMSE = NaN from a mean over zero elements) — fall back to
+    truncating the first half so short-T smoke runs stay meaningful.
+    Real-length evals are unaffected. Single source of truth for both the
+    sequential and the batched-repeats eval paths."""
+    return 30 if (t - 1) > 30 else (t - 1) // 2
+
+
+def _warm_up_loop(filter_model, obs_rest, controls_rest, batch: int) -> None:
+    """One discarded forward_loop rollout, run only if this (filter, mode,
+    pipeline-config, batch) tuple is not yet compiled — excludes jit compile
+    and fresh-buffer registration from the timed run that follows.
+    loop_cache_key() resolves to "pipeloop" when a pipeline is configured,
+    so pipelined repeats don't double-roll. The belief is restored so the
+    timed run regenerates the same trajectory."""
+    warm_key = filter_model.loop_cache_key(batch=batch)
+    if warm_key not in filter_model._fn_cache:
+        saved_belief = filter_model.belief
+        np.asarray(
+            filter_model.forward_loop(
+                observations=obs_rest, controls=controls_rest
+            )
+        )
+        filter_model.belief = saved_belief
+
+
 def _get_eval_batch(tile: int = 1):
     """Load + batch eval trajectories, cached across repeated runs.
 
@@ -302,15 +333,7 @@ def _batched_repeat_results(
         else:
             _random_initialize_beliefs(states, state_dim)
         obs_rest = {k: v[1:] for k, v in observations.items()}
-        warm_key = filter_model.loop_cache_key(batch=nb)
-        if warm_key not in filter_model._fn_cache:
-            saved_belief = filter_model.belief
-            np.asarray(
-                filter_model.forward_loop(
-                    observations=obs_rest, controls=controls[1:]
-                )
-            )
-            filter_model.belief = saved_belief
+        _warm_up_loop(filter_model, obs_rest, controls[1:], batch=nb)
         start = time.perf_counter()
         predicted = np.asarray(
             filter_model.forward_loop(
@@ -321,7 +344,7 @@ def _batched_repeat_results(
         e2e_steps += (t - 1) * nb
         assert predicted.shape == (t - 1, nb, state_dim)
         true_states = states[1:]
-        trunc = 30 if (t - 1) > 30 else (t - 1) // 2
+        trunc = _burn_in_truncation(t)
         per_batch_mse = np.mean(
             (predicted[trunc:] - true_states[trunc:]) ** 2, axis=0
         )
@@ -483,21 +506,7 @@ def run_eval(measurement_initialize=False, eval_dynamics=False) -> Dict[str, flo
         elapsed = time.perf_counter() - start
     else:
         obs_rest = {k: v[1:] for k, v in observations.items()}
-        # Warm-up pass: excludes jit compile and fresh-buffer registration
-        # from the throughput number (the warm-up result is discarded; the
-        # timed run below regenerates the belief trajectory used for
-        # metrics). Skipped when this (filter, mode, pipeline-config) tuple
-        # already compiled — loop_cache_key() resolves to "pipeloop" when a
-        # pipeline is configured, so pipelined repeats don't double-roll.
-        warm_key = filter_model.loop_cache_key(batch=n)
-        if warm_key not in filter_model._fn_cache:
-            saved_belief = filter_model.belief
-            np.asarray(
-                filter_model.forward_loop(
-                    observations=obs_rest, controls=controls[1:]
-                )
-            )
-            filter_model.belief = saved_belief
+        _warm_up_loop(filter_model, obs_rest, controls[1:], batch=n)
         start = time.perf_counter()
         predicted_states = filter_model.forward_loop(
             observations=obs_rest, controls=controls[1:]
@@ -528,13 +537,7 @@ def run_eval(measurement_initialize=False, eval_dynamics=False) -> Dict[str, flo
 
     # --- RMSE (eval_helpers.py:148-163) ---
     true_states = states[1:]
-    # Reference truncation (eval_helpers.py:148-163): the first 30 steps are
-    # filter burn-in and excluded from RMSE. Real eval trajectories are
-    # hundreds of steps; synthetic smoke evals can be shorter than 31, which
-    # would leave an EMPTY metric slice (RMSE = NaN from a mean over zero
-    # elements) — fall back to truncating the first half so short-T smoke
-    # runs stay meaningful. Real-length evals are unaffected.
-    start_truncation = 30 if (t - 1) > 30 else (t - 1) // 2
+    start_truncation = _burn_in_truncation(t)
     per_batch_mse = np.mean(
         to_numpy(predicted_states[start_truncation:] - true_states[start_truncation:])
         ** 2,

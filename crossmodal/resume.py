@@ -4,44 +4,59 @@ The reference has no resume story: an interrupted ``train_door.py`` run
 restarts from scratch (fannypack's Buddy can restore a checkpoint, but the
 curriculum in ``scripts/door_task/train_door.py:61-460`` re-runs every
 phase regardless).  For long production training this matters — TPU jobs
-get preempted — so this module makes the *unchanged* curricula resumable:
+get preempted — so this module makes the *unchanged* curricula resumable.
 
-``ResumableCurriculum`` wraps the ``(buddy, train_helpers, eval_helpers)``
-triple that every ``run_curriculum`` receives.  While phases are already
-complete it runs in **skip mode**:
+Design: **two passes over the unchanged ``run_curriculum``**, with the
+``(buddy, train_helpers, eval_helpers)`` triple wrapped in proxies.
 
-- expensive calls (``train_helpers.train_*``, ``eval_helpers.log_eval``,
-  ``buddy.load_checkpoint_module`` surgery) are deferred, not executed;
-- cheap state mutations pass through eagerly — ``freeze_module`` /
-  ``unfreeze_module`` and attribute sets like ``enabled_models`` are
-  called directly on the model by the curricula (not through these
-  proxies), so the wrapper's correctness rests on the invariant that the
-  reference curricula apply them at *segment start*, before the segment's
-  train calls (true of every curriculum in both CLIs);
-- ``buddy.save_checkpoint(label)`` is the phase boundary: if the labeled
-  checkpoint already exists on disk, the whole pending segment is
-  discarded (phase complete — skipped) and the label is remembered as the
-  resume frontier.  At the first label that does NOT exist, the frontier
-  checkpoint is restored (params + optimizer state + step counter), the
-  pending segment replays in order, and everything switches to
-  passthrough for the rest of the run.
+1. **Probe pass** — every expensive call (``train_helpers.train_*``,
+   ``eval_helpers.log_eval``, ``buddy.load_checkpoint_module`` surgery) is
+   a no-op; ``buddy.save_checkpoint(label)`` checks whether the labeled
+   checkpoint exists on disk.  The *resume frontier* is the last label in
+   an unbroken existing chain from the start; the probe aborts (private
+   restart exception) at the first missing label.  If the probe runs to
+   completion, every phase is already done: the frontier checkpoint is
+   restored (so the CLI's trailing eval sees the trained weights) and
+   nothing re-runs.
+2. **Fast-forward pass** — ``run_curriculum`` runs again from the top.
+   Expensive calls stay no-ops *until* ``save_checkpoint(frontier)`` is
+   reached; at that exact point the frontier checkpoint is restored
+   (params + step counter + optimizer state, via ``Buddy.load_checkpoint``)
+   and everything switches to live passthrough for the rest of the run.
 
-A fully-complete run therefore skips every phase and ``finish()`` just
-restores the final checkpoint (so the CLI's trailing ``run_eval`` sees the
-trained weights); a fresh run defers-then-replays its first segment, which
-is semantically identical to running it inline.
+Why two passes instead of defer-and-replay: the curricula interleave
+*eager, direct* model mutations (``freeze_module`` / ``unfreeze_module``,
+``enabled_models = [...]``, ``buddy._optimizer_dict.clear()``) between
+their train calls — e.g. ``train_door.py``'s unimodal-KF branch flips
+``enabled_models`` around each per-modality ``train_e2e``.  A deferred
+train call replayed later would run under the *final* mutation state of
+its segment, not the state at its call site.  Re-running the curriculum
+from the top re-applies every mutation in order (they are all absolute
+assignments, so re-application is idempotent), and the restore happens at
+the frontier's original position in that order — so post-restore clears
+still drop restored optimizer state exactly as an uninterrupted run would,
+and each live train call sees exactly the freeze/enabled state an
+uninterrupted run would have given it.
 
 Deferred surgery keeps its call-site error contract: the
 DoorCrossmodalParticleFilter curriculum wraps ``load_checkpoint_module``
 in try/except FileNotFoundError for the warm-start fallback
-(train_door.py:122-124 in the reference), so the proxy validates the
-source checkpoint's existence eagerly and defers only the load.
+(train_door.py:122-124 in the reference), so in the skipping modes the
+proxy still validates the source checkpoint's existence eagerly (raising
+the same exception types as Buddy) and the curriculum's branch choice is
+identical across passes.
+
+Constraints (both hold for every curriculum in both CLIs, and are handled
+gracefully if violated): phase labels should be unique within one
+curriculum — a repeated or ``None`` label ends the skippable prefix there,
+so everything from that point re-runs live; trailing gated calls after the
+final save re-run live on resume.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Any, Callable, List, Optional, Tuple
+from typing import Optional
 
 
 def _labeled_checkpoint_exists(buddy, label, experiment_name=None) -> bool:
@@ -59,67 +74,80 @@ def _labeled_checkpoint_exists(buddy, label, experiment_name=None) -> bool:
     )
 
 
-class _DeferringProxy:
-    """Pass every attribute through to `real`, except callables named in
-    `deferred`: in skip mode those are queued on the controller instead of
-    executed."""
+class _Restart(Exception):
+    """Private: aborts the probe pass at the first incomplete phase."""
 
-    def __init__(self, controller: "ResumableCurriculum", real, deferred):
+
+class _GatingProxy:
+    """Pass every attribute through to `real`, except callables named in
+    `gated`: while the controller is not in live mode those are no-ops
+    (the fast-forward pass re-runs them live past the restore point)."""
+
+    def __init__(self, controller: "ResumableCurriculum", real, gated):
         self._rc = controller
         self._real = real
-        self._deferred = frozenset(deferred)
+        self._gated = frozenset(gated)
 
     def __getattr__(self, name: str):
         attr = getattr(self._real, name)
-        if (
-            name in self._deferred
-            and callable(attr)
-            and self._rc._skipping
-        ):
+        if name in self._gated and callable(attr) and self._rc._mode != "live":
 
-            def defer(*args, **kwargs):
-                if not self._rc._skipping:  # activated since lookup
+            def gate(*args, **kwargs):
+                if self._rc._mode == "live":  # activated since lookup
                     return attr(*args, **kwargs)
-                self._rc._pending.append(
-                    (f"{name}", lambda: attr(*args, **kwargs))
-                )
+                self._rc._trailing = True
+                self._rc._skipped += 1
                 return None
 
-            return defer
+            return gate
         return attr
 
 
-class _BuddyProxy(_DeferringProxy):
+class _BuddyProxy(_GatingProxy):
     def __init__(self, controller, buddy):
-        super().__init__(controller, buddy, deferred=())
+        super().__init__(controller, buddy, gated=())
 
     def save_checkpoint(self, label: Optional[str] = None):
         rc = self._rc
-        if not rc._skipping:
-            return self._real.save_checkpoint(label)
-        if label is not None and _labeled_checkpoint_exists(self._real, label):
+        real = self._real
+        if rc._mode == "live":
+            return real.save_checkpoint(label)
+        if rc._mode == "probe":
+            # A None / repeated label can't key a resume point: end the
+            # skippable prefix here (everything after re-runs live).
+            if (
+                label is None
+                or label in rc._seen
+                or not _labeled_checkpoint_exists(real, label)
+            ):
+                raise _Restart
+            rc._seen.add(label)
             rc._frontier = label
-            n = len(rc._pending)
-            rc._pending.clear()
+            rc._trailing = False
+            n, rc._skipped = rc._skipped, 0
             print(
                 f"[resume] phase '{label}' already complete — skipped "
-                f"({n} deferred call{'s' if n != 1 else ''} dropped)"
+                f"({n} call{'s' if n != 1 else ''})"
             )
-            return self._real._checkpoint_path(label)
-        rc._activate(reason=f"checkpoint '{label}' not found")
-        return self._real.save_checkpoint(label)
+            return real._checkpoint_path(label)
+        assert rc._mode == "fastforward"
+        if label == rc._target:
+            print(f"[resume] restoring '{label}' and resuming live")
+            real.load_checkpoint(label=label)
+            rc._mode = "live"
+        return real._checkpoint_path(label)
 
     def load_checkpoint_module(self, source, target=None, label=None,
                                experiment_name=None):
         rc = self._rc
-        if not rc._skipping:
+        if rc._mode == "live":
             return self._real.load_checkpoint_module(
                 source, target=target, label=label,
                 experiment_name=experiment_name,
             )
         # Keep the call-site error contract: raise now if the source
         # checkpoint is missing (curricula catch FileNotFoundError /
-        # AssertionError for warm-start fallbacks), defer only the load.
+        # AssertionError for warm-start fallbacks); skip only the load.
         if not _labeled_checkpoint_exists(self._real, label, experiment_name):
             if label is not None:
                 base = self._real._checkpoint_base(label, experiment_name)
@@ -130,25 +158,19 @@ class _BuddyProxy(_DeferringProxy):
                 f"No checkpoints found for "
                 f"{experiment_name or self._real.experiment_name}"
             )
-        real = self._real
-        rc._pending.append((
-            "load_checkpoint_module",
-            lambda: real.load_checkpoint_module(
-                source, target=target, label=label,
-                experiment_name=experiment_name,
-            ),
-        ))
+        rc._trailing = True
+        rc._skipped += 1
         return None
 
 
-_TRAIN_DEFERRED = (
+_TRAIN_GATED = (
     "train_e2e",
     "train_pf_dynamics_single_step",
     "train_pf_dynamics_recurrent",
     "train_pf_measurement",
     "train_virtual_sensor",
 )
-_EVAL_DEFERRED = ("log_eval",)
+_EVAL_GATED = ("log_eval",)
 
 
 class ResumableCurriculum:
@@ -159,44 +181,67 @@ class ResumableCurriculum:
 
         rc = ResumableCurriculum(buddy, train_helpers, eval_helpers,
                                  enabled=args.resume)
-        run_curriculum(filter_model, rc.buddy, rc.train_helpers,
-                       rc.eval_helpers)
-        rc.finish()
+        rc.run(run_curriculum, filter_model)
+
+    ``run`` invokes ``run_curriculum(*args, buddy, train_helpers,
+    eval_helpers)`` with the proxied triple (once when nothing or
+    everything is resumable, twice — probe then fast-forward — when
+    resuming mid-curriculum; the probe pass executes no training).
     """
 
     def __init__(self, buddy, train_helpers, eval_helpers, enabled: bool = True):
         self._real_buddy = buddy
-        self._skipping = bool(enabled)
-        self._pending: List[Tuple[str, Callable[[], Any]]] = []
+        self._enabled = bool(enabled)
+        self._mode = "probe" if enabled else "live"
         self._frontier: Optional[str] = None
+        self._target: Optional[str] = None
+        self._seen: set = set()
+        self._trailing = False  # gated calls after the last completed save
+        self._skipped = 0
         self.buddy = _BuddyProxy(self, buddy) if enabled else buddy
         self.train_helpers = (
-            _DeferringProxy(self, train_helpers, _TRAIN_DEFERRED)
+            _GatingProxy(self, train_helpers, _TRAIN_GATED)
             if enabled else train_helpers
         )
         self.eval_helpers = (
-            _DeferringProxy(self, eval_helpers, _EVAL_DEFERRED)
+            _GatingProxy(self, eval_helpers, _EVAL_GATED)
             if enabled else eval_helpers
         )
 
-    def _activate(self, reason: str) -> None:
-        """Leave skip mode: restore the frontier checkpoint, replay the
-        pending (incomplete) segment in order, then pass everything through."""
-        assert self._skipping
-        self._skipping = False
-        if self._frontier is not None:
-            print(f"[resume] restoring '{self._frontier}' ({reason})")
-            self._real_buddy.load_checkpoint(label=self._frontier)
+    def run(self, run_curriculum, *args) -> None:
+        triple = (self.buddy, self.train_helpers, self.eval_helpers)
+        if not self._enabled:
+            run_curriculum(*args, *triple)
+            return
+        # Pass 1 (probe): find the resume frontier without training.
+        self._mode = "probe"
+        try:
+            run_curriculum(*args, *triple)
+            if not self._trailing:
+                # Every phase complete: restore the final checkpoint so the
+                # caller's trailing eval sees the trained weights.
+                if self._frontier is not None:
+                    print(
+                        f"[resume] curriculum complete; restoring "
+                        f"'{self._frontier}'"
+                    )
+                    self._real_buddy.load_checkpoint(label=self._frontier)
+                else:
+                    print("[resume] curriculum has no phase checkpoints")
+                self._mode = "live"
+                return
+            # Gated calls after the final save: fast-forward and re-run them.
+        except _Restart:
+            pass
+        # Pass 2 (fast-forward): re-run from the top, restore at the
+        # frontier's original position, then go live.
+        self._target = self._frontier
+        self._seen = set()
+        self._skipped = 0
+        if self._target is None:
+            print("[resume] nothing completed yet; training from scratch")
+            self._mode = "live"
         else:
-            print(f"[resume] nothing completed yet ({reason}); from scratch")
-        pending, self._pending = self._pending, []
-        for name, call in pending:
-            print(f"[resume] replaying deferred {name}")
-            call()
-
-    def finish(self) -> None:
-        """Call after run_curriculum returns: if every phase was already
-        complete, restore the final checkpoint so the caller's trailing
-        eval sees the trained weights (plus any trailing deferred calls)."""
-        if self._skipping:
-            self._activate(reason="curriculum complete")
+            print(f"[resume] fast-forwarding to '{self._target}'")
+            self._mode = "fastforward"
+        run_curriculum(*args, *triple)

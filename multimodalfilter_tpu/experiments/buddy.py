@@ -285,6 +285,11 @@ class Buddy:
         # Best-effort optimizer-state restore: only for named optimizers that
         # already exist with a matching pytree structure (training resumes
         # with warm Adam moments; mismatches fall back to fresh state).
+        # A full restore defines the complete optimizer state, so any stash
+        # left over from an earlier load_checkpoint is stale — purge it
+        # before merging (otherwise an optimizer absent from THIS checkpoint
+        # could warm-start from a previous one's moments).
+        self._pending_optimizer_state.clear()
         for name, saved in state.get("optimizers", {}).items():
             if name not in self._optimizer_dict:
                 # Not created yet (optimizers are made lazily at the first

@@ -112,8 +112,7 @@ def main(argv=None):
     rc = ResumableCurriculum(
         buddy, train_helpers, eval_helpers, enabled=args.resume
     )
-    run_curriculum(filter_model, rc.buddy, rc.train_helpers, rc.eval_helpers)
-    rc.finish()
+    rc.run(run_curriculum, filter_model)
 
     buddy.add_metadata(
         {

@@ -467,11 +467,17 @@ def smoke_export_replay():
         load_serving_bundle,
     )
 
+    prior_serving = os.environ.get("MMF_TPU_SERVING")
     os.environ["MMF_TPU_SERVING"] = "1"
     try:
         model = DoorTask.model_types["DoorCrossmodalParticleFilter"]()
     finally:
-        del os.environ["MMF_TPU_SERVING"]
+        # Restore (not delete) so a user-set MMF_TPU_SERVING still governs
+        # the checks that run after this one.
+        if prior_serving is None:
+            del os.environ["MMF_TPU_SERVING"]
+        else:
+            os.environ["MMF_TPU_SERVING"] = prior_serving
     model.eval()
     n, t = 4, 8
     obs, controls, _ = _flagship_batch(n, t)

@@ -67,16 +67,13 @@ def _run_kf_curriculum(tmp_path, name, resume):
     th = MutatingHelpers(log, buddy)
     eh = MutatingHelpers(log, buddy)
     rc = ResumableCurriculum(buddy, th, eh, enabled=resume)
-    train_door.run_curriculum(
-        model, rc.buddy, rc.train_helpers, rc.eval_helpers
-    )
-    rc.finish()
+    rc.run(train_door.run_curriculum, model)
     return model, buddy, log
 
 
 def test_fresh_resume_run_matches_plain(tmp_path):
-    """--resume with no prior checkpoints defers-then-replays the first
-    segment: identical call order, identical checkpoints, identical final
+    """--resume with no prior checkpoints probes then re-runs everything
+    live: identical call order, identical checkpoints, identical final
     params as a plain run."""
     _, buddy_plain, log_plain = _run_kf_curriculum(
         tmp_path / "plain", "kf", resume=False
@@ -193,3 +190,137 @@ def test_optimizer_warm_start_after_restore(tmp_path):
         for x in jax.tree_util.tree_leaves(opt3["state"])
         if hasattr(x, "shape") and getattr(x, "shape", ()) != ()
     )
+
+
+def test_resume_replays_under_correct_mutation_state(tmp_path):
+    """Regression: curricula mutate the model EAGERLY between train calls
+    (freeze_module / enabled_models flips, e.g. train_door.py's unimodal-KF
+    branch). On resume, a replayed train call must see the mutation state of
+    its own call site, not the segment-final state (the old defer-and-replay
+    design ran every deferred call under the last mutation)."""
+    from crossmodal.resume import ResumableCurriculum
+
+    def run(root, resume, missing=()):
+        class Model:
+            params = {"w": np.zeros(3, np.float32)}
+            flag = "init"
+
+        model = Model()
+        buddy = _make_buddy(root, model, "mut")
+        seen = []
+
+        class Helpers:
+            def train_e2e(self, tag):
+                seen.append((tag, model.flag))
+                model.params = {"w": model.params["w"] + 1.0}
+
+            def log_eval(self):
+                pass
+
+        def curriculum(buddy, th, eh):
+            model.flag = "A"
+            th.train_e2e("t1")
+            buddy.save_checkpoint("p0")
+            # One segment, mutations interleaved with trains:
+            model.flag = "B"
+            th.train_e2e("t2")
+            model.flag = "C"
+            th.train_e2e("t3")
+            buddy.save_checkpoint("p1")
+
+        rc = ResumableCurriculum(buddy, Helpers(), Helpers(), enabled=resume)
+        rc.run(curriculum)
+        return model, seen
+
+    model1, seen1 = run(tmp_path, resume=False)
+    assert seen1 == [("t1", "A"), ("t2", "B"), ("t3", "C")]
+    (tmp_path / "ckpt" / "mut" / "p1.ckpt").unlink()
+
+    model2, seen2 = run(tmp_path, resume=True)
+    # t1 is skipped (p0 complete); t2/t3 replay under THEIR OWN flags.
+    assert seen2 == [("t2", "B"), ("t3", "C")]
+    np.testing.assert_array_equal(
+        _first_leaf(model2.params), _first_leaf(model1.params)
+    )
+
+
+def test_resume_optimizer_clear_not_resurrected(tmp_path):
+    """Regression: a curriculum's between-phase _optimizer_dict.clear() that
+    falls inside the replayed segment must still produce a FRESH optimizer on
+    resume — the frontier restore repopulates the warm-start stash, and the
+    clear (re-run live, in order, after the restore) must drop it."""
+    import jax
+    import jax.numpy as jnp
+
+    from crossmodal.resume import ResumableCurriculum
+    from multimodalfilter_tpu.train.optim import get_named_optimizer
+
+    def run(root, resume):
+        class Model:
+            params = {"w": jnp.zeros((3,))}
+
+        model = Model()
+        buddy = _make_buddy(root, model, "optclear")
+        warm_at_entry = []
+
+        class Helpers:
+            def train_e2e(self):
+                opt = get_named_optimizer(buddy, "o", model.params)
+                warm_at_entry.append(
+                    any(
+                        np.any(np.asarray(x) != 0)
+                        for x in jax.tree_util.tree_leaves(opt["state"])
+                        if hasattr(x, "shape")
+                    )
+                )
+                grads = {"w": jnp.ones((3,))}
+                _, opt["state"] = opt["tx"].update(
+                    grads, opt["state"], model.params
+                )
+
+            def log_eval(self):
+                pass
+
+        def curriculum(buddy, th, eh):
+            th.train_e2e()
+            buddy.save_checkpoint("p0")
+            buddy._optimizer_dict.clear()  # the curricula's phase reset
+            th.train_e2e()
+            buddy.save_checkpoint("p1")
+
+        rc = ResumableCurriculum(buddy, Helpers(), Helpers(), enabled=resume)
+        rc.run(curriculum)
+        return warm_at_entry
+
+    assert run(tmp_path, resume=False) == [False, False]
+    (tmp_path / "ckpt" / "optclear" / "p1.ckpt").unlink()
+    # Resume: only the second train replays, and it must start COLD (the old
+    # design warm-started it from p0's restored Adam moments).
+    assert run(tmp_path, resume=True) == [False]
+
+
+def test_load_checkpoint_purges_stale_stash(tmp_path):
+    """Regression: Buddy.load_checkpoint must drop warm-start stash entries
+    left by an earlier restore — optimizers absent from the newly loaded
+    checkpoint must not warm-start from a previous one's moments."""
+    import jax.numpy as jnp
+
+    from multimodalfilter_tpu.train.optim import get_named_optimizer
+
+    class Model:
+        params = {"w": jnp.zeros((3,))}
+
+    model = Model()
+    buddy = _make_buddy(tmp_path, model, "stash")
+    opt = get_named_optimizer(buddy, "x", model.params)
+    grads = {"w": jnp.ones((3,))}
+    _, opt["state"] = opt["tx"].update(grads, opt["state"], model.params)
+    buddy.save_checkpoint("A")
+    buddy._optimizer_dict.clear()
+    buddy.save_checkpoint("B")  # no optimizer state in this checkpoint
+
+    buddy2 = _make_buddy(tmp_path, Model(), "stash")
+    buddy2.load_checkpoint("A")
+    assert "x" in buddy2._pending_optimizer_state
+    buddy2.load_checkpoint("B")
+    assert buddy2._pending_optimizer_state == {}
