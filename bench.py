@@ -565,10 +565,11 @@ def main():
     # config (saturated / bf16 / train) is skipped once the budget is spent,
     # so the driver always gets the JSON line even on a cold-compile day.
     start = time.perf_counter()
-    # 540s: a quiet-host full run takes ~350s; 420 was observed to drop every
-    # optional config on a cold-compile day (the first config alone blew the
-    # budget when the compile helper was still draining a prior process).
-    budget = float(os.environ.get("BENCH_BUDGET_S", "540"))
+    # The budget clock is restarted after the headline config (see below),
+    # so this bounds only the OPTIONAL configs. 900s: on the round-2 host
+    # those took ~170s total; the round-3 host compiles ~4x slower, so give
+    # them ~700s of headroom before skipping starts.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
 
     # Hard watchdog: the soft budget only gates BETWEEN configs — it cannot
     # fire if the very first device touch hangs (observed: a TPU-tunnel
@@ -619,6 +620,15 @@ def main():
     # bf16 / bf16+fold) remains visible.
     fold_default = os.environ.get("BENCH_FOLD", "1") == "1"
     jax_sps, _ = bench_jax(fold=fold_default)
+
+    # Restart the budget clock now that the headline config is done: its
+    # compile+first-run is host-speed dependent (the SAME program measured
+    # 181s on the round-2 host and 760s on the round-3 host — the compile
+    # helper runs on this box's CPU), while every subsequent config compiles
+    # in ~10s. Counting the first compile against the soft budget nulls all
+    # optional figures on a slow host for no benefit; the hard watchdog
+    # above still bounds total process time.
+    start = time.perf_counter()
 
     # Saturated config + MFU: the like-for-like N=16 number leaves the chip
     # ~4x under-utilized (VERDICT r1 weak #3); report a serving-batch figure
