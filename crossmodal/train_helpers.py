@@ -29,7 +29,7 @@ trajectories: List[Trajectory]
 num_workers: int = 0
 mesh = None
 pipeline_mesh = None
-pipeline_microbatches: int = 2
+pipeline_microbatches = None  # None = auto-size (largest divisor of per-shard batch up to 8)
 
 
 def configure(
@@ -39,7 +39,7 @@ def configure(
     num_workers: int = 0,
     mesh=None,
     pipeline_mesh=None,
-    pipeline_microbatches: int = 2,
+    pipeline_microbatches=None,
 ):
     """Configure global settings for training helpers.
 

@@ -288,7 +288,7 @@ def train_virtual_sensor(
 def train_e2e(
     buddy, model, dataset, *, epochs, batch_size=32, initial_cov_scale=0.1,
     measurement_initialize=False, optimizer_name="train_filter_recurrent",
-    mesh=None, pipeline_mesh=None, pipeline_microbatches: int = 2,
+    mesh=None, pipeline_mesh=None, pipeline_microbatches=None,
 ):
     """BPTT through `subsequence_length` filter steps (torchfilter.train.
     train_filter equivalent). Beliefs initialize at ground truth state[0]
@@ -300,6 +300,9 @@ def train_e2e(
     mesh's "pipe" axis with a checkpointed, differentiable GPipe schedule
     (parallel/temporal_pipeline.py) — requires (subsequence_length - 1)
     divisible by the stage count and batch_size by pipeline_microbatches.
+    pipeline_microbatches=None (default) auto-sizes exactly like eval
+    (StatefulFilter._auto_microbatches: largest divisor of the
+    per-data-shard batch up to 8 — GPipe efficiency micro/(stages+micro-1)).
     A "data" axis on the same mesh shards the BPTT batch (2-D grid), and a
     "particle" axis (PF definitions only) shards the particle axis M
     (massive-M BPTT); all three compose into the 3-D training grid.
@@ -340,6 +343,13 @@ def train_e2e(
         particle_axis = (
             "particle" if "particle" in pipeline_mesh.axis_names else None
         )
+        if pipeline_microbatches is None:
+            from ..filtering.wrappers import StatefulFilter
+
+            per_shard = batch_size
+            if data_axis is not None:
+                per_shard = batch_size // pipeline_mesh.shape[data_axis]
+            pipeline_microbatches = StatefulFilter._auto_microbatches(per_shard)
         if isinstance(defn, ParticleFilterDef):
             if particle_axis is not None:
                 m_train = defn.num_particles_train

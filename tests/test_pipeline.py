@@ -305,3 +305,34 @@ def test_train_e2e_3d_grid(trained_pf, door_trajectories):
     ]
     assert any(not np.array_equal(a, b) for a, b in zip(before, after))
     th.configure(buddy=buddy, trajectories=door_trajectories)
+
+
+def test_train_e2e_pipeline_microbatches_auto(trained_pf, door_trajectories):
+    """train_e2e(pipeline_microbatches=None) auto-sizes with the SAME
+    resolver as eval (StatefulFilter._auto_microbatches: largest divisor of
+    the per-data-shard batch up to 8) — round-3 verdict item #5: train
+    previously hardcoded micro=2 and silently got the inefficient GPipe
+    schedule. Asserted via the jit-cache key, which embeds the resolved
+    count."""
+    import crossmodal
+    from multimodalfilter_tpu.parallel.mesh import create_mesh
+
+    model, buddy, _, _ = trained_pf
+    th = crossmodal.train_helpers
+    th.configure(
+        buddy=buddy, trajectories=door_trajectories,
+        pipeline_mesh=create_mesh(4, axis_names=("pipe",)),
+        # pipeline_microbatches left at the default (None = auto)
+    )
+    loss = th.train_e2e(subsequence_length=5, epochs=1, batch_size=8)
+    assert loss is not None and np.isfinite(loss)
+    pipe_tuples = [
+        part
+        for key in buddy._jit_cache
+        for part in key[-1]
+        if isinstance(part, tuple) and part and part[0] == "pipe"
+    ]
+    assert pipe_tuples, "no pipelined epoch fn was cached"
+    # batch 8, no data axis -> per-shard batch 8 -> auto micro = 8.
+    assert any(p[1] == 8 for p in pipe_tuples), pipe_tuples
+    th.configure(buddy=buddy, trajectories=door_trajectories)
