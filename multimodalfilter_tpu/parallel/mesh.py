@@ -112,8 +112,17 @@ def create_hybrid_mesh(
     if all(d == 1 for d in dcn_shape):
         devices = mesh_utils.create_device_mesh(tuple(ici_shape))
     else:
+        # The DCN granule is a TPU slice when devices expose slice_index
+        # (multi-slice pods); otherwise fall back to process granularity —
+        # CPU/GPU fleets (and the 2-process CPU integration test) have no
+        # slice topology, so "one process = one DCN island" is the faithful
+        # grouping.
+        all_devices = jax.devices()
+        slice_ids = {getattr(d, "slice_index", None) for d in all_devices}
+        by_process = None in slice_ids or len(slice_ids) == 1
         devices = mesh_utils.create_hybrid_device_mesh(
-            tuple(ici_shape), dcn_mesh_shape=tuple(dcn_shape)
+            tuple(ici_shape), dcn_mesh_shape=tuple(dcn_shape),
+            process_is_granule=by_process,
         )
     return Mesh(devices, tuple(axis_names))
 
