@@ -38,7 +38,8 @@ def main(argv=None):
     parser.add_argument("--save", action="store_true")
     parser.add_argument("--measurement_init", action="store_true")
     parser.add_argument(
-        "--batched-repeats", action="store_true",
+        "--batched-repeats", action=argparse.BooleanOptionalAction,
+        default=True,
         help="fold the 20 stochastic eval repeats into the batch axis "
         "(one (T, N*R) rollout per chunk instead of R sequential rollouts "
         "— the N=16 eval batch under-fills the chip ~16x, so this buys "
@@ -56,8 +57,13 @@ def main(argv=None):
     add_serving_arg(parser)
     args = parser.parse_args(argv)
     apply_serving_arg(args)  # before model build — knobs read at __init__
-    if args.batched_repeats:
-        os.environ["MMF_TPU_EVAL_BATCH_REPEATS"] = "1"
+    # Default ON since round 4: stats validated identical to the sequential
+    # path (tests/test_eval_sharded.py) and CLI wall time drops ~5.4x.
+    # --no-batched-repeats restores the reference-exact sequential key
+    # stream (one rollout per repeat).
+    os.environ["MMF_TPU_EVAL_BATCH_REPEATS"] = (
+        "1" if args.batched_repeats else "0"
+    )
     mesh, pipeline_mesh = meshes_from_args(args)
 
     set_cache_path(crossmodal.__path__[0] + "/../.cache")

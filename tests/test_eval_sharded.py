@@ -269,6 +269,9 @@ def test_batched_repeat_stats_match_sequential_kf(env, monkeypatch):
     buddy = env
     eh = crossmodal.eval_helpers
     monkeypatch.setenv("MMF_TPU_EVAL_DEVICE_THROUGHPUT", "0")
+    # Pin the sequential path explicitly: the eval CLIs default batched
+    # repeats ON since round 4 and set this env var in-process.
+    monkeypatch.setenv("MMF_TPU_EVAL_BATCH_REPEATS", "0")
 
     eh.configure(buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS)
     seq = eh.run_eval_stats(repeats=4)
@@ -299,6 +302,9 @@ def test_batched_repeat_stats_pf_stochastic(env, tmp_path, monkeypatch):
     )
     eh = crossmodal.eval_helpers
     monkeypatch.setenv("MMF_TPU_EVAL_DEVICE_THROUGHPUT", "0")
+    # Pin the sequential path explicitly: the eval CLIs default batched
+    # repeats ON since round 4 and set this env var in-process.
+    monkeypatch.setenv("MMF_TPU_EVAL_BATCH_REPEATS", "0")
 
     eh.configure(buddy=buddy, task=DoorTask, dataset_args=DATASET_ARGS)
     seq = eh.run_eval_stats(repeats=4)
