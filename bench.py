@@ -581,28 +581,60 @@ def main():
 
     _result_emitted = threading.Event()
     hard_timeout = float(os.environ.get("BENCH_HARD_TIMEOUT_S", "2700"))
+    # Mutable so the deadline can be RE-ARMED once the headline config
+    # completes (its compile is unbounded and host-speed dependent —
+    # observed ~760s on a slow host; without re-arming, headline-compile +
+    # soft budget + the last admitted config could cross the hard deadline
+    # and discard an already-measured headline number). If the headline WAS
+    # measured when the deadline fires, the watchdog emits it (with an
+    # error field) instead of value=0.0.
+    _watch = {"deadline": time.monotonic() + hard_timeout, "headline": None}
     if hard_timeout > 0:
 
         def _watchdog():
-            if _result_emitted.wait(hard_timeout):
-                return
-            print(
-                json.dumps(
-                    {
-                        "metric": "filter_steps_per_sec_per_chip",
-                        "value": 0.0,
-                        "unit": "steps/s",
-                        "vs_baseline": 0.0,
-                        "error": (
-                            f"watchdog: no result within {hard_timeout:.0f}s"
-                            " — TPU backend unreachable or a compile hung"
-                            " (tunnel outage?); rerun when the device is"
-                            " back"
-                        ),
-                    }
-                ),
-                flush=True,
-            )
+            while True:
+                remaining = _watch["deadline"] - time.monotonic()
+                if _result_emitted.wait(max(remaining, 0.001)):
+                    return
+                if time.monotonic() >= _watch["deadline"]:
+                    break
+            headline = _watch["headline"]
+            if headline is not None:
+                pinned = None
+                try:
+                    with open(
+                        os.path.join(os.path.dirname(__file__), "BASELINE_PIN.json")
+                    ) as f:
+                        pinned = float(json.load(f)["torch_cpu_steps_per_sec"])
+                except Exception:
+                    pass
+                payload = {
+                    "metric": "filter_steps_per_sec_per_chip",
+                    "value": round(headline, 1),
+                    "unit": "steps/s",
+                    "vs_baseline": (
+                        round(headline / pinned, 2) if pinned else 0.0
+                    ),
+                    "error": (
+                        f"watchdog: optional configs exceeded "
+                        f"{hard_timeout:.0f}s after the headline; headline "
+                        "figure is real, saturated/train figures missing"
+                    ),
+                }
+            else:
+                payload = {
+                    "metric": "filter_steps_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "steps/s",
+                    "vs_baseline": 0.0,
+                    "error": (
+                        f"watchdog: no result within {hard_timeout:.0f}s"
+                        " — TPU backend unreachable or a compile hung"
+                        " (tunnel outage?); rerun when the device is"
+                        " back"
+                    ),
+                }
+            print(json.dumps(payload), flush=True)
             os._exit(1)
 
         threading.Thread(target=_watchdog, daemon=True).start()
@@ -629,6 +661,10 @@ def main():
     # optional figures on a slow host for no benefit; the hard watchdog
     # above still bounds total process time.
     start = time.perf_counter()
+    # Re-arm the hard watchdog for the optional configs and record the
+    # headline so a late watchdog fire emits a real number, not 0.0.
+    _watch["headline"] = jax_sps
+    _watch["deadline"] = time.monotonic() + hard_timeout
 
     # Saturated config + MFU: the like-for-like N=16 number leaves the chip
     # ~4x under-utilized (VERDICT r1 weak #3); report a serving-batch figure
