@@ -64,7 +64,7 @@ def log(msg):
 
 
 def bench_jax(batch: int = BATCH, measure_flops: bool = False, bf16: bool = None,
-              fold: bool = False, stack: bool = False):
+              fold: bool = False, stack: bool = False, unroll: int = 1):
     """Returns (filter_steps_per_sec, flops_per_filter_step | None)."""
     import jax
     import jax.numpy as jnp
@@ -101,6 +101,11 @@ def bench_jax(batch: int = BATCH, measure_flops: bool = False, bf16: bool = None
 
         defn = with_stacked_encoders(defn, True)
         log("[bench] stacked multi-instance encoders enabled")
+    if unroll > 1:
+        from multimodalfilter_tpu.utils.precision import with_scan_unroll
+
+        defn = with_scan_unroll(defn, unroll)
+        log(f"[bench] forward_loop scan unroll={unroll}")
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 5)
@@ -726,7 +731,16 @@ def main():
         and not over_budget("N=1 latency config")
     ):
         try:
-            lat_sps, _ = bench_jax(batch=1, bf16=True, fold=True)
+            # MMF_TPU_SCAN_UNROLL=10 is part of the recommended N=1 serving
+            # stack: the step is op-count-bound (~49 body ops x ~0.16us
+            # fixed cost — docs/PERFORMANCE.md round-4 attribution), and
+            # unrolling amortizes loop machinery / batches per-step RNG
+            # chains (A/B on-chip: 40.7 -> 37.1 us/step; neutral >=20
+            # within noise). BENCH_UNROLL_N1=1 restores the plain scan.
+            lat_sps, _ = bench_jax(
+                batch=1, bf16=True, fold=True,
+                unroll=int(os.environ.get("BENCH_UNROLL_N1", "10")),
+            )
             latency_us = 1e6 / lat_sps
             log(
                 f"[bench] single-stream latency: {latency_us:.1f} us / "

@@ -199,6 +199,9 @@ class FilterDef(abc.ABC):
             return new_belief, estimate
 
         final_belief, estimates = jax.lax.scan(
-            scan_step, belief, (observations_seq, controls_seq, keys)
+            scan_step, belief, (observations_seq, controls_seq, keys),
+            # Concrete defs carry a scan_unroll field (serving knob
+            # MMF_TPU_SCAN_UNROLL); analytic/test defs may not.
+            unroll=getattr(self, "scan_unroll", 1),
         )
         return final_belief, estimates

@@ -53,6 +53,9 @@ class VirtualSensorEKFDef(FilterDef):
     state_dim: int
     control_dim: int = 7
     obs_spec: ObsSpec = DEFAULT_OBS_SPEC
+    # forward_loop lax.scan unroll factor (numerics-identical; serving knob
+    # MMF_TPU_SCAN_UNROLL — see ParticleFilterDef.scan_unroll).
+    scan_unroll: int = 1
 
     def init(self, key):
         k_dyn, k_vs = jax.random.split(key)
@@ -151,6 +154,7 @@ class VirtualSensorEKFDef(FilterDef):
             return new_belief, mean
 
         final_belief, estimates = jax.lax.scan(
-            scan_step, belief, (z_seq, r_seq, controls_seq)
+            scan_step, belief, (z_seq, r_seq, controls_seq),
+            unroll=self.scan_unroll,
         )
         return final_belief, estimates

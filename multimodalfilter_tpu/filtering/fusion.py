@@ -307,6 +307,9 @@ class CrossmodalKFDef(FilterDef):
     # Channel-stack the image child's virtual-sensor encoder with the gate's
     # (models/stacked.py; MMF_TPU_STACK_ENC=1 via StatefulFilter).
     stack_image_encoders: bool = False
+    # forward_loop lax.scan unroll factor (numerics-identical; serving knob
+    # MMF_TPU_SCAN_UNROLL — see ParticleFilterDef.scan_unroll).
+    scan_unroll: int = 1
 
     def _stack_injection(self, params, observations, enabled, include_gate):
         if not self.stack_image_encoders:
@@ -493,7 +496,8 @@ class CrossmodalKFDef(FilterDef):
             return GaussianBelief(fused_mean, fused_cov), fused_mean
 
         final_belief, estimates = jax.lax.scan(
-            scan_step, belief, (virtuals, weights_seq, controls_seq)
+            scan_step, belief, (virtuals, weights_seq, controls_seq),
+            unroll=self.scan_unroll,
         )
         return final_belief, estimates
 
@@ -539,6 +543,9 @@ class UnimodalKFDef(FilterDef):
     state_dim: int
     control_dim: int = 7
     obs_spec: ObsSpec = DEFAULT_OBS_SPEC
+    # forward_loop lax.scan unroll factor (numerics-identical; serving knob
+    # MMF_TPU_SCAN_UNROLL — see ParticleFilterDef.scan_unroll).
+    scan_unroll: int = 1
 
     def init(self, key):
         keys = jax.random.split(key, len(self.filter_models))
@@ -673,7 +680,8 @@ class UnimodalKFDef(FilterDef):
             return tuple(new_beliefs), fused_mean
 
         final_belief, estimates = jax.lax.scan(
-            scan_step, belief, (virtuals, controls_seq)
+            scan_step, belief, (virtuals, controls_seq),
+            unroll=self.scan_unroll,
         )
         return final_belief, estimates
 

@@ -27,6 +27,9 @@ class LSTMFilterDef(FilterDef):
     obs_spec: ObsSpec = DEFAULT_OBS_SPEC
     lstm_hidden_dim: int = 512
     lstm_num_layers: int = 2
+    # forward_loop lax.scan unroll factor (numerics-identical; serving knob
+    # MMF_TPU_SCAN_UNROLL — see ParticleFilterDef.scan_unroll).
+    scan_unroll: int = 1
 
     def init(self, key):
         obs = example_observations(self.obs_spec)
@@ -93,5 +96,7 @@ class LSTMFilterDef(FilterDef):
             )
             return new_carry, estimate
 
-        final_carry, estimates = jax.lax.scan(scan_step, belief, features)
+        final_carry, estimates = jax.lax.scan(
+            scan_step, belief, features, unroll=self.scan_unroll
+        )
         return final_carry, estimates

@@ -47,6 +47,16 @@ class ParticleFilterDef(FilterDef):
     # with a custom-VJP backward kernel (no resampling, matching
     # torchfilter's train default). Opt-in.
     pallas_resample: bool = False
+    # lax.scan unroll factor for forward_loop. Same ops and key stream, but
+    # XLA fuses across unrolled steps and may reassociate fp — deterministic
+    # filters (KF/EKF/LSTM) stay bitwise-identical (tested); PFs can flip
+    # tie-level resampling draws (observed max ~1e-5 estimate drift, the
+    # same class as the documented large-M cumsum reassociation). At small N
+    # the filter step is op-count-bound (profiled N=1: ~49 body ops x
+    # ~0.16us fixed cost each — docs/PERFORMANCE.md round-4 attribution);
+    # unrolling amortizes loop machinery and batches the per-step RNG
+    # chains. Serving knob: MMF_TPU_SCAN_UNROLL.
+    scan_unroll: int = 1
 
     def num_particles(self, train: bool) -> int:
         # Matches DoorParticleFilter.train() (pf.py:24-27): 30 train, 300 eval.
@@ -202,6 +212,7 @@ class ParticleFilterDef(FilterDef):
             )
 
         final_belief, estimates = jax.lax.scan(
-            scan_step, belief, (features_seq, controls_seq, keys)
+            scan_step, belief, (features_seq, controls_seq, keys),
+            unroll=self.scan_unroll,
         )
         return final_belief, estimates

@@ -202,6 +202,17 @@ class StatefulFilter:
             from ..utils.precision import with_fold_tail
 
             definition = with_fold_tail(definition, True)
+        # MMF_TPU_SCAN_UNROLL=k: unroll the filter forward_loop scan by k.
+        # Bitwise for deterministic filters; PFs may flip tie-level resample
+        # draws (see ParticleFilterDef.scan_unroll). Pays off at small N
+        # where the per-step program is op-count-bound (N=1 attribution in
+        # docs/PERFORMANCE.md). Not part of the serving default: it
+        # multiplies compile time by ~k and is neutral at saturated batches.
+        unroll = int(os.environ.get("MMF_TPU_SCAN_UNROLL", "1"))
+        if unroll > 1:
+            from ..utils.precision import with_scan_unroll
+
+            definition = with_scan_unroll(definition, unroll)
         # MMF_TPU_STACK_ENC=1: run the K independent image encoders that
         # consume the same frame (measurement model + gate / virtual sensor
         # + gate) as ONE channel-stacked pass (models/stacked.py). Exact

@@ -48,6 +48,16 @@ def with_fold_tail(obj, fold: bool = True):
     return _with_field(obj, "fold_tail", fold)
 
 
+def with_scan_unroll(obj, unroll: int):
+    """Set the `scan_unroll` field throughout a def tree: forward_loop's
+    lax.scan unrolls by this factor. Same ops/key stream; deterministic
+    filters stay bitwise-identical, PFs may flip tie-level resample draws
+    under cross-step fp reassociation (see ParticleFilterDef.scan_unroll).
+    Targets small-N serving where the per-step program is op-count-bound
+    (profiled N=1 attribution in docs/PERFORMANCE.md)."""
+    return _with_field(obj, "scan_unroll", int(unroll))
+
+
 def with_stacked_encoders(obj, stack: bool = True):
     """Set the `stack_image_encoders` field on every fusion def in the tree:
     the K independent image encoders consuming the same frame (measurement
