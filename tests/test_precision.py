@@ -45,3 +45,50 @@ def test_with_compute_dtype_rebuilds_and_stays_close():
     np.testing.assert_allclose(
         np.asarray(est32), np.asarray(est16), rtol=0.15, atol=0.05
     )
+
+
+def test_with_scan_unroll_kf_bitwise_pf_close():
+    """with_scan_unroll: forward_loop unrolling keeps deterministic filters
+    BITWISE-identical and PF estimates within tie-flip tolerance (cross-step
+    fp reassociation can flip a tie-level resample draw — see
+    ParticleFilterDef.scan_unroll). Serving knob MMF_TPU_SCAN_UNROLL."""
+    import dataclasses
+
+    from crossmodal.door_models import (
+        DoorCrossmodalParticleFilter,
+        DoorKalmanFilter,
+    )
+    from multimodalfilter_tpu.utils.precision import with_scan_unroll
+
+    rng = np.random.default_rng(1)
+    t, n = 12, 2
+    obs = {
+        "image": jnp.asarray(rng.normal(size=(t, n, 32, 32)), jnp.float32),
+        "gripper_pos": jnp.asarray(rng.normal(size=(t, n, 3)), jnp.float32),
+        "gripper_sensors": jnp.asarray(rng.normal(size=(t, n, 7)), jnp.float32),
+    }
+    ctrl = jnp.asarray(rng.normal(size=(t, n, 7)), jnp.float32)
+    mean = jnp.zeros((n, 3))
+    cov = jnp.broadcast_to(jnp.eye(3) * 0.1, (n, 3, 3))
+    key = jax.random.PRNGKey(3)
+
+    def run(defn, params):
+        belief = defn.initialize_beliefs(params, key, mean, cov, train=False)
+        _, est = jax.jit(
+            lambda p, b: defn.forward_loop(
+                p, b, obs, ctrl, key, train=False, enabled=(True, True)
+            )
+        )(params, belief)
+        return np.asarray(est)
+
+    kf = DoorKalmanFilter()
+    est1 = run(kf.definition, kf.params)
+    est4 = run(with_scan_unroll(kf.definition, 4), kf.params)
+    assert with_scan_unroll(kf.definition, 4).scan_unroll == 4
+    np.testing.assert_array_equal(est1, est4)  # deterministic: bitwise
+
+    pf = DoorCrossmodalParticleFilter()
+    defn = dataclasses.replace(pf.definition, num_particles_eval=25)
+    est1 = run(defn, pf.params)
+    est4 = run(with_scan_unroll(defn, 4), pf.params)
+    np.testing.assert_allclose(est1, est4, rtol=1e-3, atol=1e-3)
