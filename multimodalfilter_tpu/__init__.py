@@ -19,6 +19,13 @@ Design principles (TPU-first, not a port):
   matmuls; data parallelism shards N over a ``jax.sharding.Mesh``.
 """
 
+# MMF_TPU_RBG: opt-in RngBitGenerator-backed PRNG for serving (see
+# utils/rng.py). Applied at import so every PRNGKey site in the process —
+# facade key streams, eval CLI rollout keys, bench rep keys — picks it up.
+from .utils.rng import configure_prng_from_env as _configure_prng
+
+_configure_prng()
+
 from . import data  # noqa: F401
 from . import experiments  # noqa: F401
 from . import filtering  # noqa: F401

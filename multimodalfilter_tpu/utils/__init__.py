@@ -5,6 +5,7 @@ from .debug import (  # noqa: F401
     pdb_safety_net,
     profile_trace,
 )
+from .rng import configure_prng_from_env, prng_impl_from_env  # noqa: F401
 from .pytree import (  # noqa: F401
     get_by_path,
     set_by_path,

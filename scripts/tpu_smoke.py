@@ -324,6 +324,45 @@ def smoke_bf16():
     assert np.all(np.isfinite(np.asarray(est))), "bf16 estimates not finite"
 
 
+@check("rbg PRNG (RngBitGenerator) rollout on hardware")
+def smoke_rbg():
+    """MMF_TPU_RBG draws lower to the RngBitGenerator HLO — a TPU hardware
+    path the CPU-forced pytest suite exercises only via emulation. Checks
+    the flagship PF rollout under unsafe_rbg keys is finite and
+    deterministic per key on the chip (utils/rng.py, tests/test_rbg.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from crossmodal.door_models import DoorCrossmodalParticleFilter
+
+    model = DoorCrossmodalParticleFilter()
+    defn = model.definition
+    n, t = 4, 8
+    obs, controls, _ = _flagship_batch(n, t)
+    mean = jnp.zeros((n, 3))
+    cov = jnp.broadcast_to(jnp.eye(3) * 0.1, (n, 3, 3))
+
+    @jax.jit
+    def run(params, belief, obs, controls, key):
+        _, est = defn.forward_loop(
+            params, belief, obs, controls, key, train=False, enabled=(True, True)
+        )
+        return est
+
+    old = jax.config.jax_default_prng_impl
+    jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+    try:
+        key = jax.random.PRNGKey(123)
+        assert key.shape == (4,), "expected an rbg key"
+        belief = defn.initialize_beliefs(model.params, key, mean, cov, train=False)
+        a = np.asarray(run(model.params, belief, obs, controls, key))
+        b = np.asarray(run(model.params, belief, obs, controls, key))
+    finally:
+        jax.config.update("jax_default_prng_impl", old)
+    assert np.all(np.isfinite(a)), "rbg estimates not finite on hardware"
+    assert np.array_equal(a, b), "rbg rollout not deterministic per key"
+
+
 @check("folded encoder tail matches unfolded on hardware")
 def smoke_fold_enc():
     import jax
@@ -524,6 +563,7 @@ def main():
     smoke_pallas_chunked_large()
     smoke_pallas_train()
     smoke_bf16()
+    smoke_rbg()
     smoke_fold_enc()
     smoke_train_step()
     smoke_export_replay()
