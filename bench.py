@@ -737,10 +737,30 @@ def main():
             # unrolling amortizes loop machinery / batches per-step RNG
             # chains (A/B on-chip: 40.7 -> 37.1 us/step; neutral >=20
             # within noise). BENCH_UNROLL_N1=1 restores the plain scan.
-            lat_sps, _ = bench_jax(
-                batch=1, bf16=True, fold=True,
-                unroll=int(os.environ.get("BENCH_UNROLL_N1", "10")),
-            )
+            #
+            # MMF_TPU_RBG-equivalent hardware RNG is also part of the N=1
+            # stack: the attribution put ~23% of self-time in threefry
+            # chains, and RngBitGenerator draws recover most of it (A/B
+            # on-chip, same boot: 37.4 -> 31.7 us/step at unroll=10).
+            # Scoped to this config only — every other bench number keeps
+            # reference-comparable threefry streams. BENCH_RBG_N1=0
+            # restores threefry.
+            import jax as _jax
+
+            use_rbg = os.environ.get("BENCH_RBG_N1", "1") == "1"
+            prev_impl = _jax.config.jax_default_prng_impl
+            if use_rbg:
+                _jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+                log("[bench] N=1 config: unsafe_rbg PRNG (BENCH_RBG_N1=0 "
+                    "for threefry)")
+            try:
+                lat_sps, _ = bench_jax(
+                    batch=1, bf16=True, fold=True,
+                    unroll=int(os.environ.get("BENCH_UNROLL_N1", "10")),
+                )
+            finally:
+                if use_rbg:
+                    _jax.config.update("jax_default_prng_impl", prev_impl)
             latency_us = 1e6 / lat_sps
             log(
                 f"[bench] single-stream latency: {latency_us:.1f} us / "

@@ -7,6 +7,7 @@ Usage (on the real chip):
     python scripts/profile_serving.py --mode saturated   # N=SAT_BATCH bf16+fold
     python scripts/profile_serving.py --mode n1          # N=1 production stack
     python scripts/profile_serving.py --mode fp32        # N=SAT_BATCH fp32+fold
+    python scripts/profile_serving.py --mode train       # bf16 B=512 train epoch
 
 Captures ONE timed rep of bench.py's exact chained serving program under
 `jax.profiler.trace`, then converts the xplane capture with xprof's
@@ -116,6 +117,117 @@ def capture(mode: str, trace_dir: str, chain: int) -> None:
     )
 
 
+def capture_train(trace_dir: str, steps: int, batch: int, bf16: bool) -> None:
+    """Run bench.py's epoch-jit BPTT train program once under the profiler.
+
+    Mirrors bench.bench_train's saturated config (B=512, L=16, bf16) — the
+    config behind the reported train MFU — with a short epoch (default 4
+    optimizer steps) to keep the trace compact.
+    """
+    import dataclasses
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from crossmodal.door_models import DoorCrossmodalParticleFilter
+    from multimodalfilter_tpu.train.optim import zero_frozen_grads
+
+    seq_len = 16
+    model = DoorCrossmodalParticleFilter()
+    defn = dataclasses.replace(
+        model.definition,
+        pallas_resample=jax.default_backend() == "tpu",
+    )
+    if bf16:
+        from multimodalfilter_tpu.utils.precision import with_compute_dtype
+
+        defn = with_compute_dtype(defn, jnp.bfloat16)
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 5)
+    n_rows = batch * 2
+    data = {
+        "states": jax.random.normal(ks[0], (n_rows, seq_len, 3)),
+        "controls": jax.random.normal(ks[1], (n_rows, seq_len, 7)),
+        "obs": {
+            "image": jax.random.normal(ks[2], (n_rows, seq_len, 32, 32)),
+            "gripper_pos": jax.random.normal(ks[3], (n_rows, seq_len, 3)),
+            "gripper_sensors": jax.random.normal(ks[4], (n_rows, seq_len, 7)),
+        },
+    }
+
+    def loss_fn(params, batch_data, key):
+        states = jnp.swapaxes(batch_data["states"], 0, 1)
+        controls = jnp.swapaxes(batch_data["controls"], 0, 1)
+        obs = jax.tree_util.tree_map(
+            lambda a: jnp.swapaxes(a, 0, 1), batch_data["obs"]
+        )
+        k_init, k_loop = jax.random.split(key)
+        b = states.shape[1]
+        cov = jnp.broadcast_to(jnp.eye(3) * 0.1, (b, 3, 3))
+        belief = defn.initialize_beliefs(params, k_init, states[0], cov,
+                                         train=True)
+        obs_rest = jax.tree_util.tree_map(lambda a: a[1:], obs)
+        _, est = defn.forward_loop(
+            params, belief, obs_rest, controls[1:], k_loop,
+            train=True, enabled=(True, True),
+        )
+        return jnp.mean((est - states[1:]) ** 2)
+
+    tx = optax.adam(1e-4)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def epoch(params, opt_state, data, idx_matrix, key):
+        def body(carry, inputs):
+            params, opt_state = carry
+            idx, step_key = inputs
+            batch_data = jax.tree_util.tree_map(lambda a: a[idx], data)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, batch_data, step_key
+            )
+            grads = zero_frozen_grads(grads, frozenset())
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        keys = jax.random.split(key, idx_matrix.shape[0])
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (idx_matrix, keys)
+        )
+        return params, opt_state, jnp.mean(losses)
+
+    idx = jnp.arange(steps * batch).reshape(steps, batch) % n_rows
+
+    def run_once(params, opt_state, k):
+        p, o, loss = epoch(params, opt_state, data, idx, k)
+        float(loss)
+        return p, o
+
+    t0 = time.perf_counter()
+    params, opt_state = model.params, tx.init(model.params)
+    params, opt_state = run_once(params, opt_state, jax.random.PRNGKey(1))
+    print(f"[profile] compile+first epoch: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+    params, opt_state = run_once(params, opt_state, jax.random.PRNGKey(2))
+
+    t0 = time.perf_counter()
+    jax.profiler.start_trace(trace_dir)
+    try:
+        run_once(params, opt_state, jax.random.PRNGKey(3))
+    finally:
+        jax.profiler.stop_trace()
+    wall = time.perf_counter() - t0
+    fsteps = steps * batch * (seq_len - 1)
+    print(
+        f"[profile] traced epoch: {wall * 1e3:.1f} ms / {steps} opt-steps "
+        f"(B={batch}, L={seq_len}) -> {fsteps / wall:.0f} train "
+        "filter-steps/s (incl. trace overhead)",
+        file=sys.stderr, flush=True,
+    )
+
+
 def _find_xplane(trace_dir: str) -> str:
     paths = sorted(
         glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True),
@@ -214,6 +326,40 @@ def analyze(xplane_path: str, mode: str, top: int = 25) -> dict:
         else:
             stages["other convolution"].append(o)
 
+    # Train-mode rollup: split device time into forward vs backward vs
+    # optimizer/infra, keyed on the JAX autodiff scope markers that xprof
+    # preserves in tf_op_name ("transpose(jvp(...))" wraps every VJP op;
+    # adam state updates live under the optax scope).
+    direction = {}
+    if mode == "train":
+        buckets = {
+            "backward (vjp ops)": lambda s, c: "transpose(jvp" in s,
+            "optimizer (adam/updates)": lambda s, c: (
+                "adam" in s or "apply_updates" in s or "zero_frozen" in s
+            ),
+            "forward convs": lambda s, c: (
+                "convolution" in c.lower() or "conv" in s
+            ),
+            "forward other": lambda s, c: True,
+        }
+        for o in ops:
+            s = o["tf_op"].lower()
+            for label, pred in buckets.items():
+                if pred(s, o["category"]):
+                    direction.setdefault(label, []).append(o)
+                    break
+        print("\n=== train fwd/bwd/opt rollup ===")
+        for label, group in direction.items():
+            t = sum(o["self_time_us"] for o in group)
+            hb = sum(o["hbm_bytes_total"] or 0 for o in group)
+            flops_weighted = sum(
+                o["achieved_tflops"] * o["self_time_us"] for o in group
+            )
+            print(f"{label:<28}{t / 1e3:>9.2f} ms {100 * t / total_us:>5.1f}%"
+                  f"  hbm {hb / 1e9:7.2f} GB"
+                  f"  avg {flops_weighted / max(t, 1e-9):5.1f} TF/s"
+                  f"  ({len(group)} ops)")
+
     print("\n=== encoder-stage rollup (name/shape-matched conv ops) ===")
     rollup = {}
     for label, group in stages.items():
@@ -237,12 +383,17 @@ def analyze(xplane_path: str, mode: str, top: int = 25) -> dict:
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--mode", choices=("saturated", "fp32", "n1"),
+    ap.add_argument("--mode", choices=("saturated", "fp32", "n1", "train"),
                     default="saturated")
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--chain", type=int, default=None,
                     help="chained reps inside the traced program "
-                    "(default: 2 saturated, 16 n1)")
+                    "(default: 2 saturated, 16 n1); for --mode train this "
+                    "is the optimizer-step count (default 4)")
+    ap.add_argument("--train-batch", type=int, default=None,
+                    help="train batch (default: BENCH_SAT_BATCH, the "
+                    "saturated bf16 config behind the reported train MFU)")
+    ap.add_argument("--train-fp32", action="store_true")
     ap.add_argument("--analyze-only", default=None, metavar="XPLANE_OR_DIR",
                     help="skip capture; analyze an existing capture")
     ap.add_argument("--json-out", default=None)
@@ -255,8 +406,18 @@ def main():
             path = _find_xplane(path)
     else:
         trace_dir = args.trace_dir or f"/tmp/mmf-profile-{args.mode}"
-        chain = args.chain or (16 if args.mode == "n1" else 2)
-        capture(args.mode, trace_dir, chain)
+        if args.mode == "train":
+            import bench  # noqa: E402
+
+            capture_train(
+                trace_dir,
+                steps=args.chain or 4,
+                batch=args.train_batch or bench.SAT_BATCH,
+                bf16=not args.train_fp32,
+            )
+        else:
+            chain = args.chain or (16 if args.mode == "n1" else 2)
+            capture(args.mode, trace_dir, chain)
         path = _find_xplane(trace_dir)
     print(f"[profile] xplane: {path}", file=sys.stderr, flush=True)
     result = analyze(path, args.mode, top=args.top)
