@@ -120,85 +120,22 @@ def capture(mode: str, trace_dir: str, chain: int) -> None:
 def capture_train(trace_dir: str, steps: int, batch: int, bf16: bool) -> None:
     """Run bench.py's epoch-jit BPTT train program once under the profiler.
 
-    Mirrors bench.bench_train's saturated config (B=512, L=16, bf16) — the
-    config behind the reported train MFU — with a short epoch (default 4
-    optimizer steps) to keep the trace compact.
+    The program is built by ``bench.make_train_program`` — the SAME builder
+    bench_train measures — so the profiled attribution can never silently
+    diverge from the benchmarked program (advisor r4). Default is the
+    saturated config (B=512, L=16, bf16) behind the reported train MFU, with
+    a short epoch (default 4 optimizer steps) to keep the trace compact.
     """
-    import dataclasses
-    import functools
-
     import jax
-    import jax.numpy as jnp
-    import optax
 
-    from crossmodal.door_models import DoorCrossmodalParticleFilter
-    from multimodalfilter_tpu.train.optim import zero_frozen_grads
+    import bench  # noqa: E402
 
-    seq_len = 16
-    model = DoorCrossmodalParticleFilter()
-    defn = dataclasses.replace(
-        model.definition,
-        pallas_resample=jax.default_backend() == "tpu",
-    )
-    if bf16:
-        from multimodalfilter_tpu.utils.precision import with_compute_dtype
+    prog = bench.make_train_program(batch, bf16)
+    seq_len = prog["seq_len"]
+    model, data = prog["model"], prog["data"]
+    tx, epoch = prog["tx"], prog["epoch"]
 
-        defn = with_compute_dtype(defn, jnp.bfloat16)
-
-    key = jax.random.PRNGKey(0)
-    ks = jax.random.split(key, 5)
-    n_rows = batch * 2
-    data = {
-        "states": jax.random.normal(ks[0], (n_rows, seq_len, 3)),
-        "controls": jax.random.normal(ks[1], (n_rows, seq_len, 7)),
-        "obs": {
-            "image": jax.random.normal(ks[2], (n_rows, seq_len, 32, 32)),
-            "gripper_pos": jax.random.normal(ks[3], (n_rows, seq_len, 3)),
-            "gripper_sensors": jax.random.normal(ks[4], (n_rows, seq_len, 7)),
-        },
-    }
-
-    def loss_fn(params, batch_data, key):
-        states = jnp.swapaxes(batch_data["states"], 0, 1)
-        controls = jnp.swapaxes(batch_data["controls"], 0, 1)
-        obs = jax.tree_util.tree_map(
-            lambda a: jnp.swapaxes(a, 0, 1), batch_data["obs"]
-        )
-        k_init, k_loop = jax.random.split(key)
-        b = states.shape[1]
-        cov = jnp.broadcast_to(jnp.eye(3) * 0.1, (b, 3, 3))
-        belief = defn.initialize_beliefs(params, k_init, states[0], cov,
-                                         train=True)
-        obs_rest = jax.tree_util.tree_map(lambda a: a[1:], obs)
-        _, est = defn.forward_loop(
-            params, belief, obs_rest, controls[1:], k_loop,
-            train=True, enabled=(True, True),
-        )
-        return jnp.mean((est - states[1:]) ** 2)
-
-    tx = optax.adam(1e-4)
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def epoch(params, opt_state, data, idx_matrix, key):
-        def body(carry, inputs):
-            params, opt_state = carry
-            idx, step_key = inputs
-            batch_data = jax.tree_util.tree_map(lambda a: a[idx], data)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, batch_data, step_key
-            )
-            grads = zero_frozen_grads(grads, frozenset())
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-
-        keys = jax.random.split(key, idx_matrix.shape[0])
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (idx_matrix, keys)
-        )
-        return params, opt_state, jnp.mean(losses)
-
-    idx = jnp.arange(steps * batch).reshape(steps, batch) % n_rows
+    idx = prog["make_idx"](steps)
 
     def run_once(params, opt_state, k):
         p, o, loss = epoch(params, opt_state, data, idx, k)
@@ -334,8 +271,12 @@ def analyze(xplane_path: str, mode: str, top: int = 25) -> dict:
     if mode == "train":
         buckets = {
             "backward (vjp ops)": lambda s, c: "transpose(jvp" in s,
+            # Keyed on the jax.named_scope("optimizer") marker that
+            # bench.make_train_program wraps around the optax update —
+            # optax call-site names do not survive into tf_op_name
+            # (advisor r4), so the scope marker is the reliable signal.
             "optimizer (adam/updates)": lambda s, c: (
-                "adam" in s or "apply_updates" in s or "zero_frozen" in s
+                "optimizer" in s or "adam" in s or "apply_updates" in s
             ),
             "forward convs": lambda s, c: (
                 "convolution" in c.lower() or "conv" in s
