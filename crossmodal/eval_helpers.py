@@ -1,26 +1,29 @@
-"""Evaluation helpers.
+"""Evaluation helpers — public API (reference ``crossmodal/eval_helpers.py``).
 
-Behavior parity with the reference ``crossmodal/eval_helpers.py``:
+Behavior parity with the reference:
   - batch all eval trajectories, truncated to the common min length, stacked
-    on axis 1 (:87-111)
+    on axis 1 (:87-111) — `_eval_batching.get_eval_batch`
   - beliefs initialized at ground-truth state[0] with 0.1*I covariance, or
-    via measurement initialization (:113-131)
-  - one jitted forward_loop over the full sequence (:133-142)
+    via measurement initialization (:113-131) — `_eval_batching`
+  - one jitted forward_loop over the full sequence (:133-142) — here
   - RMSE with the first 30 steps truncated, de-normalized with the dataset's
-    hardcoded stddevs, converted to degrees/cm (:148-216) — identical metric
-    names and constants
+    hardcoded stddevs, converted to degrees/cm (:148-216) — `_eval_metrics`
   - run_eval_stats: mean/std over 20 repeated (stochastic) runs (:41-67)
 
-Adds the throughput instrumentation the reference lacks (BASELINE.md):
+Adds the throughput instrumentation the reference lacks (BASELINE.md);
 run_eval returns two figures —
   - `filter_steps_per_sec`: device-side throughput, measured by chaining
     dependent forward_loops inside one jitted program (the bench.py pattern;
-    amortizes dispatch/tunnel latency). Disable the extra measurement with
+    amortizes dispatch/tunnel latency — `_eval_throughput`). Disable with
     MMF_TPU_EVAL_DEVICE_THROUGHPUT=0 (it then falls back to the e2e figure).
   - `filter_steps_per_sec_e2e`: wall-clock for one forward_loop INCLUDING the
     device->host fetch of the estimates — honest end-to-end latency, but
     through a remote-TPU tunnel the fetch RTT dominates, so it is not a
     device throughput number.
+
+The module-global configured state (`buddy`, `filter_model`, `task`,
+`dataset_args` — the reference's pattern, :10-29) lives in `_eval_state`
+and is mirrored here by `configure()` for API parity.
 """
 
 from __future__ import annotations
@@ -31,20 +34,28 @@ from typing import Dict, List
 
 import numpy as np
 
-from multimodalfilter_tpu import native
 from multimodalfilter_tpu.experiments import Buddy
 from multimodalfilter_tpu.utils import to_numpy
 
+from . import _eval_state as S
 from . import tasks
+from ._eval_batching import get_eval_batch as _get_eval_batch
+from ._eval_batching import initialize_beliefs_for_eval
+from ._eval_metrics import burn_in_truncation as _burn_in_truncation
+from ._eval_metrics import metric_results as _metric_results
+from ._eval_throughput import device_throughput as _device_throughput
+from ._eval_throughput import warm_up_loop as _warm_up_loop
 
-# Module globals, set by configure() (reference eval_helpers.py:10-29).
+# Module globals, set by configure() (reference eval_helpers.py:10-29);
+# mirrored from _eval_state for API parity.
 buddy: Buddy
 filter_model = None
 task = None
 dataset_args: Dict = {}
 mesh = None
 
-_eval_batch_cache = {}
+# The shared cache object (tests clear/inspect it through this name).
+_eval_batch_cache = S.batch_cache
 
 
 def configure(*, buddy: Buddy, task, dataset_args: Dict, mesh=None,
@@ -67,24 +78,21 @@ def configure(*, buddy: Buddy, task, dataset_args: Dict, mesh=None,
     assert mesh is None or pipeline_mesh is None, (
         "mesh (batch-DP) and pipeline_mesh (time-pipeline) are exclusive"
     )
-    globals()["buddy"] = buddy
-    globals()["filter_model"] = buddy.model
-    globals()["task"] = task
-    globals()["dataset_args"] = dataset_args
-    globals()["mesh"] = mesh
+    S.set_state(buddy=buddy, task=task, dataset_args=dataset_args, mesh=mesh)
+    for name in ("buddy", "filter_model", "task", "dataset_args", "mesh"):
+        globals()[name] = getattr(S, name)
     buddy.model.use_pipeline(
         pipeline_mesh, num_microbatches=pipeline_microbatches
     )
-    _eval_batch_cache.clear()
 
 
 def log_eval(measurement_initialize=False) -> None:
     """Evaluate, print, and log metrics."""
     results = run_eval(measurement_initialize)
-    with buddy.log_scope("eval"):
+    with S.buddy.log_scope("eval"):
         for key, value in results.items():
             if type(value) == float:
-                buddy.log_scalar(key, value)
+                S.buddy.log_scalar(key, value)
 
 
 def run_eval_stats(*eval_args, repeats: int = 20, **eval_kwargs) -> Dict[str, float]:
@@ -121,168 +129,6 @@ def run_eval_stats(*eval_args, repeats: int = 20, **eval_kwargs) -> Dict[str, fl
     return results_stats
 
 
-_eval_rng = np.random.default_rng(0)
-
-
-def _put_fn(axis: int = 1):
-    """device_put for eval arrays; shards `axis` over the DP mesh when one
-    is configured (axis 1 for time-major (T, N, ...) batches, axis 0 for
-    per-trajectory init tensors)."""
-    import jax
-
-    if mesh is None:
-        return jax.device_put
-    from jax.sharding import NamedSharding, PartitionSpec
-
-    def put(v):
-        spec = [None] * v.ndim
-        spec[axis] = "data"
-        return jax.device_put(v, NamedSharding(mesh, PartitionSpec(*spec)))
-
-    return put
-
-
-def _check_batch_divisible(n_traj: int, mesh) -> None:
-    """Shared DP-eval guard: the eval batch must split evenly over the
-    mesh's data axis (both the trajectory batch and the init tensors)."""
-    n_dev = mesh.shape["data"]
-    if n_traj % n_dev != 0:
-        raise ValueError(
-            f"data-parallel eval needs the eval batch (N={n_traj} "
-            f"trajectories) divisible by the mesh size ({n_dev}); "
-            f"pass a mesh over a divisor of N (--data-parallel) or "
-            f"evaluate unsharded"
-        )
-
-
-def _burn_in_truncation(t: int) -> int:
-    """Steps excluded from RMSE at the front of a T-step rollout.
-
-    Reference truncation (eval_helpers.py:148-163): the first 30 steps are
-    filter burn-in. Real eval trajectories are hundreds of steps; synthetic
-    smoke evals can be shorter than 31, which would leave an EMPTY metric
-    slice (RMSE = NaN from a mean over zero elements) — fall back to
-    truncating the first half so short-T smoke runs stay meaningful.
-    Real-length evals are unaffected. Single source of truth for both the
-    sequential and the batched-repeats eval paths."""
-    return 30 if (t - 1) > 30 else (t - 1) // 2
-
-
-def _warm_up_loop(filter_model, obs_rest, controls_rest, batch: int) -> None:
-    """One discarded forward_loop rollout, run only if this (filter, mode,
-    pipeline-config, batch) tuple is not yet compiled — excludes jit compile
-    and fresh-buffer registration from the timed run that follows.
-    loop_cache_key() resolves to "pipeloop" when a pipeline is configured,
-    so pipelined repeats don't double-roll. The belief is restored so the
-    timed run regenerates the same trajectory."""
-    warm_key = filter_model.loop_cache_key(batch=batch)
-    if warm_key not in filter_model._fn_cache:
-        saved_belief = filter_model.belief
-        np.asarray(
-            filter_model.forward_loop(
-                observations=obs_rest, controls=controls_rest
-            )
-        )
-        filter_model.belief = saved_belief
-
-
-def _get_eval_batch(tile: int = 1):
-    """Load + batch eval trajectories, cached across repeated runs.
-
-    The reference reloads everything from HDF5 on each of the 20 stochastic
-    eval repeats (its blackout masks are sampled at load time). We load ONCE
-    with masking disabled and re-apply the blackout on device per repeat
-    (multimodalfilter_tpu.data.augment) — distributionally identical, no
-    repeated host I/O."""
-    blackout_ratio = dataset_args.get("image_blackout_ratio", 0.0)
-    cache_key = tuple(sorted(dataset_args.items()))
-
-    if cache_key not in _eval_batch_cache:
-        load_args = dict(dataset_args)
-        load_args["image_blackout_ratio"] = 0.0  # re-masked on device below
-        trajectories = task.get_eval_trajectories(**load_args)
-        assert type(trajectories) == list
-
-        min_timesteps = min(s.shape[0] for s, o, c in trajectories)
-        # Time-major (T, N, ...) batch assembly via the native host engine
-        # (numpy fallback inside); bitwise np.stack([a[:t_min]], axis=1).
-        states = native.stack_axis1(
-            [s for s, o, c in trajectories], min_timesteps
-        )
-        controls = native.stack_axis1(
-            [c for s, o, c in trajectories], min_timesteps
-        )
-        obs_keys = trajectories[0].observations.keys()
-        observations = {
-            k: native.stack_axis1(
-                [o[k] for s, o, c in trajectories], min_timesteps
-            )
-            for k in obs_keys
-        }
-        # Keep observations/controls device-resident: run_eval_stats repeats
-        # the filter 20x over the same batch, and re-uploading images through
-        # the remote-TPU tunnel each repeat dominates otherwise. States stay
-        # host-side (metrics are numpy). With a mesh, arrays shard over the
-        # batch axis (index 1 of the (T, N, ...) layout) — GSPMD partitions
-        # the filter's forward_loop from these shardings.
-        if mesh is not None:
-            _check_batch_divisible(controls.shape[1], mesh)
-        put = _put_fn(axis=1)
-        observations = {k: put(v) for k, v in observations.items()}
-        controls = put(controls)
-        _eval_batch_cache[cache_key] = (states, observations, controls)
-
-    states, observations, controls = _eval_batch_cache[cache_key]
-    if tile > 1:
-        # Batched-repeats mode (_batched_repeat_results): the clean batch
-        # repeated `tile`x along the trajectory axis, repeat-major
-        # (row r*N+i = repeat r of trajectory i), cached device-side.
-        tiled_key = (cache_key, "tile", tile)
-        if tiled_key not in _eval_batch_cache:
-            import jax.numpy as jnp
-
-            put = _put_fn(axis=1)
-
-            def reps(v):
-                return (1, tile) + (1,) * (v.ndim - 2)
-
-            observations = {
-                k: put(jnp.tile(v, reps(v))) for k, v in observations.items()
-            }
-            controls = put(jnp.tile(controls, reps(controls)))
-            states = np.tile(states, reps(states))
-            _eval_batch_cache[tiled_key] = (states, observations, controls)
-        states, observations, controls = _eval_batch_cache[tiled_key]
-    if blackout_ratio > 0:
-        import jax
-
-        from multimodalfilter_tpu.data.augment import apply_image_blackout
-
-        key = jax.random.PRNGKey(int(_eval_rng.integers(2**31)))
-        observations = dict(observations)
-        observations["image"] = apply_image_blackout(
-            key, observations["image"], blackout_ratio
-        )
-    return states, observations, controls
-
-
-def _random_initialize_beliefs(states, state_dim: int) -> None:
-    """The reference's random belief init (eval_helpers.py:113-131): mean =
-    true initial state, covariance 0.1*I. Init tensors are cached
-    device-side — repeated eval runs must not pay fresh host->device
-    uploads per repeat (expensive through the tunnel)."""
-    n = states.shape[1]
-    init_key = ("init_tensors", n, state_dim, id(states))
-    if init_key not in _eval_batch_cache:
-        cov = np.tile(np.eye(state_dim, dtype=np.float32) * 0.1, (n, 1, 1))
-        if mesh is not None:
-            _check_batch_divisible(n, mesh)
-        put0 = _put_fn(axis=0)
-        _eval_batch_cache[init_key] = (put0(states[0]), put0(cov))
-    mean0, cov = _eval_batch_cache[init_key]
-    filter_model.initialize_beliefs(mean=mean0, covariance=cov)
-
-
 def _batched_repeat_results(
     repeats: int, measurement_initialize: bool = False
 ) -> Dict[str, List[float]]:
@@ -305,6 +151,7 @@ def _batched_repeat_results(
     The per-rollout repeat count is capped so N*R stays at or below the
     chip's saturation batch (MMF_TPU_EVAL_BATCH_REPEATS_CAP, default 256) —
     beyond it there is no throughput left to win, only memory to lose."""
+    filter_model = S.filter_model
     states0, obs0, ctrl0 = _get_eval_batch()
     t, n = states0.shape[:2]
     state_dim = filter_model.state_dim
@@ -324,14 +171,7 @@ def _batched_repeat_results(
     for _ in range(chunks):
         states, observations, controls = _get_eval_batch(tile=rc)
         nb = n * rc
-        if measurement_initialize and hasattr(
-            filter_model.definition, "measurement_initialize_beliefs"
-        ):
-            filter_model.measurement_initialize_beliefs(
-                {k: v[0] for k, v in observations.items()}
-            )
-        else:
-            _random_initialize_beliefs(states, state_dim)
+        initialize_beliefs_for_eval(states, observations, measurement_initialize)
         obs_rest = {k: v[1:] for k, v in observations.items()}
         _warm_up_loop(filter_model, obs_rest, controls[1:], batch=nb)
         start = time.perf_counter()
@@ -359,14 +199,7 @@ def _batched_repeat_results(
             # The stored belief is the TILED (N*rc) one from the rollouts
             # above; the chained timer runs at the ORIGINAL batch (the
             # config the persisted number describes), so re-init first.
-            if measurement_initialize and hasattr(
-                filter_model.definition, "measurement_initialize_beliefs"
-            ):
-                filter_model.measurement_initialize_beliefs(
-                    {k: v[0] for k, v in obs0.items()}
-                )
-            else:
-                _random_initialize_beliefs(states0, state_dim)
+            initialize_beliefs_for_eval(states0, obs0, measurement_initialize)
             device_sps = _device_throughput(obs0, ctrl0, states0)
         except Exception as exc:  # pragma: no cover - measurement best-effort
             print(f"(device throughput measurement failed: {exc})")
@@ -380,95 +213,9 @@ def _batched_repeat_results(
     return all_results
 
 
-def _device_throughput(observations, controls, states, chain: int = 4) -> float:
-    """Device-side filter throughput: `chain` dependent forward_loops inside
-    ONE jitted program (the belief threads through, so none can be elided),
-    timed with fresh PRNG keys and a single host scalar fetch per run. This
-    amortizes the per-dispatch tunnel RTT and defeats the runtime's
-    value-caching of identical executions (CLAUDE.md traps #2/#4).
-
-    The chained body runs the SAME path run_eval executed: when a pipeline
-    is configured (configure(pipeline_mesh=...)), the timer chains the
-    pipelined loop (T padded to the stage count, exactly as
-    StatefulFilter._pipelined_forward_loop pads) — the reported steps/s
-    then reflects the configured stack, not the single-device scan."""
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
-    defn = filter_model.definition
-    enabled = filter_model._enabled_tuple
-    t, n = states.shape[:2]
-    obs_rest = {k: v[1:] for k, v in observations.items()}
-    ctrl_rest = controls[1:]
-    belief = filter_model.belief
-
-    pipeline = filter_model._pipeline
-    if pipeline is not None:
-        # Pad T-1 to the stage count once, outside the timed chain, via the
-        # SAME helper _pipelined_forward_loop uses; the useful-step count
-        # below stays (t-1)*n, so padding overhead is billed — the same
-        # overhead real pipelined eval pays.
-        from multimodalfilter_tpu.filtering.wrappers import pad_time_to_stages
-
-        mesh, axis_name = pipeline[0], pipeline[1]
-        obs_rest, ctrl_rest = pad_time_to_stages(
-            obs_rest, ctrl_rest, mesh.shape[axis_name]
-        )
-        pipe_fn = filter_model._get_pipeline_fn(batch=n)
-
-        def loop_fn(params, b, obs, ctrl, key):
-            return pipe_fn(params, b, obs, ctrl, key)
-
-    else:
-
-        def loop_fn(params, b, obs, ctrl, key):
-            return defn.forward_loop(
-                params, b, obs, ctrl, key, train=False, enabled=enabled
-            )
-
-    cache_key = ("chained_loop", filter_model.loop_cache_key(batch=n), t, n)
-    if cache_key not in _eval_batch_cache:
-
-        @functools.partial(jax.jit, static_argnames=("reps",))
-        def chained(params, belief, obs, ctrl, key, reps: int):
-            def body(carry, i):
-                b, acc = carry
-                # Per-rep i*1e-12 perturbation: numerically a no-op (below
-                # fp32 eps for normalized data) but keeps the inputs
-                # loop-variant so XLA cannot hoist the batched encoder pass
-                # out of the chain — otherwise the reported steps/s would be
-                # ~2-4x above true fresh-data throughput (see bench.py).
-                eps = i.astype(jnp.float32) * 1e-12
-                obs_i = jax.tree_util.tree_map(lambda v: v + eps, obs)
-                nb, est = loop_fn(
-                    params, b, obs_i, ctrl + eps, jax.random.fold_in(key, i)
-                )
-                return (nb, acc + est.sum()), None
-
-            (_, acc), _ = jax.lax.scan(
-                body, (belief, jnp.float32(0)), jnp.arange(reps)
-            )
-            return acc
-
-        _eval_batch_cache[cache_key] = chained
-    chained = _eval_batch_cache[cache_key]
-
-    args = (filter_model.params, belief, obs_rest, ctrl_rest)
-    float(chained(*args, jax.random.PRNGKey(997), chain))  # compile
-    float(chained(*args, jax.random.PRNGKey(998), chain))  # transfers settled
-    times = []
-    for i in range(3):
-        k = jax.random.PRNGKey(1000 + i)
-        t0 = time.perf_counter()
-        float(chained(*args, k, chain))
-        times.append(time.perf_counter() - t0)
-    return float((t - 1) * n * chain / min(times))
-
-
 def run_eval(measurement_initialize=False, eval_dynamics=False) -> Dict[str, float]:
     """Evaluate the configured filter; print + return metrics."""
+    filter_model = S.filter_model
     states, observations, controls = _get_eval_batch()
     t, n = states.shape[:2]
     state_dim = filter_model.state_dim
@@ -476,18 +223,11 @@ def run_eval(measurement_initialize=False, eval_dynamics=False) -> Dict[str, flo
     filter_model.eval()
 
     # --- Initialize beliefs (eval_helpers.py:113-131) ---
-    # Init tensors are cached device-side: repeated eval runs must not pay
-    # fresh host->device uploads per repeat (expensive through the tunnel).
-    if measurement_initialize and hasattr(
-        filter_model.definition, "measurement_initialize_beliefs"
-    ):
-        print("initialize with measurement")
-        filter_model.measurement_initialize_beliefs(
-            {k: v[0] for k, v in observations.items()}
-        )
-    else:
-        print("init with random")
-        _random_initialize_beliefs(states, state_dim)
+    init_mode = initialize_beliefs_for_eval(
+        states, observations, measurement_initialize
+    )
+    print(f"init with {init_mode}"
+          if init_mode == "random" else "initialize with measurement")
 
     # --- Run the filter (timed; jit warm-up excluded via a pre-run) ---
     if eval_dynamics:
@@ -548,62 +288,3 @@ def run_eval(measurement_initialize=False, eval_dynamics=False) -> Dict[str, flo
     return _metric_results(
         raw_rmse, filter_steps_per_sec, filter_steps_per_sec_e2e
     )
-
-
-def _metric_results(
-    raw_rmse, filter_steps_per_sec, filter_steps_per_sec_e2e, verbose=True
-) -> Dict[str, float]:
-    """Task-specific de-normalized metric dict from a (state_dim,) raw RMSE
-    (reference eval_helpers.py:165-216); shared by run_eval and the
-    batched-repeats path."""
-    if task is tasks.DoorTask:
-        rmse = raw_rmse * np.array([0.39479038, 0.05650279, 0.0565098])
-        results = {
-            "raw_rmse": [float(x) for x in raw_rmse],
-            "theta_rmse_deg": float(rmse[0] * 180.0 / np.pi),
-            "x_rmse_cm": float(rmse[1] * 100.0),
-            "y_rmse_cm": float(rmse[2] * 100.0),
-            "filter_steps_per_sec": filter_steps_per_sec,
-            "filter_steps_per_sec_e2e": filter_steps_per_sec_e2e,
-        }
-        if verbose:
-            print()
-            print("-----")
-            print(f"Raw RMSE:   {results['raw_rmse']}")
-            print("-----")
-            print(f"Theta RMSE: {results['theta_rmse_deg']:.8f} degrees")
-            print(f"X RMSE:     {results['x_rmse_cm']:.8f} cm")
-            print(f"Y RMSE:     {results['y_rmse_cm']:.8f} cm")
-            print(
-                f"Throughput: {filter_steps_per_sec:.1f} filter-steps/sec "
-                f"(device), {filter_steps_per_sec_e2e:.1f} e2e incl. host fetch"
-            )
-            print("-----")
-    elif task is tasks.PushTask:
-        # NOTE(reference eval_helpers.py:193-195): these constants are the
-        # MuJoCo stddevs; slightly off for the kloss dataset (the reference
-        # corrects in post-processing) — replicated as-is.
-        rmse = raw_rmse * np.array([0.0572766, 0.06118315])
-        results = {
-            "raw_rmse": [float(x) for x in raw_rmse],
-            "x_rmse_cm": float(rmse[0] * 100.0),
-            "y_rmse_cm": float(rmse[1] * 100.0),
-            "filter_steps_per_sec": filter_steps_per_sec,
-            "filter_steps_per_sec_e2e": filter_steps_per_sec_e2e,
-        }
-        if verbose:
-            print()
-            print("-----")
-            print(f"Raw RMSE:   {results['raw_rmse']}")
-            print("-----")
-            print(f"X RMSE:     {results['x_rmse_cm']:.8f} cm")
-            print(f"Y RMSE:     {results['y_rmse_cm']:.8f} cm")
-            print(
-                f"Throughput: {filter_steps_per_sec:.1f} filter-steps/sec "
-                f"(device), {filter_steps_per_sec_e2e:.1f} e2e incl. host fetch"
-            )
-            print("-----")
-    else:
-        assert False, "Invalid task!"
-
-    return results

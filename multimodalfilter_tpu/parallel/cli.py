@@ -41,7 +41,13 @@ def add_parallelism_args(parser: argparse.ArgumentParser) -> None:
         help="shard the TIME axis over N pipeline stages (GPipe schedule, "
         "belief relayed stage->stage — parallel/temporal_pipeline.py); "
         "combined with --data-parallel D, rollouts run on the composed "
-        "(D data x N pipe) grid over D*N devices",
+        "(D data x N pipe) grid over D*N devices. NOTE: when the eval "
+        "batch divides over N devices, pure --data-parallel N is usually "
+        "FASTER — GPipe fills at m/(m+N-1) (53%% at the default m=8 over "
+        "8 stages) while DP has no bubble; reach for the pipe axis when "
+        "the batch axis is exhausted (N > batch) or per-device memory "
+        "forces a T split (see docs/PERFORMANCE.md, 'Choosing a "
+        "parallelism axis')",
     )
     group.add_argument(
         "--pipeline-microbatches", type=int, default=None, metavar="M",
