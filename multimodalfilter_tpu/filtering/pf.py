@@ -57,6 +57,13 @@ class ParticleFilterDef(FilterDef):
     # unrolling amortizes loop machinery and batches the per-step RNG
     # chains. Serving knob: MMF_TPU_SCAN_UNROLL.
     scan_unroll: int = 1
+    # Hoist the per-step RNG out of forward_loop's scan: the noise/uniform
+    # draws are counter-based functions of the pre-split step keys, so ONE
+    # batched draw before the scan produces the bitwise-identical stream
+    # (tested: tests/test_rng_hoist.py) while removing every per-step
+    # threefry chain from the scan body — profiled N=1, those chains were
+    # ~23% of per-step self-time (docs/PERFORMANCE.md round-4 attribution).
+    hoist_rng: bool = True
 
     def num_particles(self, train: bool) -> int:
         # Matches DoorParticleFilter.train() (pf.py:24-27): 30 train, 300 eval.
@@ -81,14 +88,24 @@ class ParticleFilterDef(FilterDef):
         return ParticleBelief(particles, log_weights)
 
     def _step_core(
-        self, params, belief, log_lik_fn, controls, key, *, train: bool
+        self, params, belief, log_lik_fn, controls, key, *, train: bool,
+        eps=None, uniforms=None,
     ):
         """One PF timestep given a log-likelihood closure over the propagated
         particles. Shared by step (inline obs) and forward_loop (hoisted
-        obs-encoder features)."""
+        obs-encoder features).
+
+        `eps` (N*M, D) / `uniforms` (N, M) optionally carry PRE-DRAWN noise
+        (the forward_loop hoisted-RNG path): the per-step draws are
+        counter-based functions of the pre-split step keys, so one batched
+        draw outside the scan produces the bitwise-identical stream while
+        removing every per-step threefry chain from the scan body
+        (profiled N=1: RNG was ~23% of per-step self-time)."""
         particles, log_weights = belief
         n, m, d = particles.shape
-        k_noise, k_resample = jax.random.split(key)
+        k_resample = None
+        if eps is None or (uniforms is None and not train):
+            k_noise, k_resample = jax.random.split(key)
 
         # --- Dynamics propagation (flatten N, M into one matmul batch) ---
         flat_particles = particles.reshape(n * m, d)
@@ -96,7 +113,10 @@ class ParticleFilterDef(FilterDef):
         pred_mean, scale_tril = self.dynamics_model.apply(
             params["dynamics_model"], flat_particles, flat_controls
         )
-        eps = jax.random.normal(k_noise, pred_mean.shape, dtype=pred_mean.dtype)
+        if eps is None:
+            eps = jax.random.normal(
+                k_noise, pred_mean.shape, dtype=pred_mean.dtype
+            )
         flat_new = pred_mean + jnp.einsum("bij,bj->bi", scale_tril, eps)
         particles = flat_new.reshape(n, m, d)
 
@@ -121,7 +141,8 @@ class ParticleFilterDef(FilterDef):
             if m <= CHUNKED_M_MAX:
                 # Fused eval path: normalize + estimate + resample in one
                 # VMEM-resident kernel (multinomial or soft by alpha).
-                uniforms = jax.random.uniform(k_resample, (n, m))
+                if uniforms is None:
+                    uniforms = jax.random.uniform(k_resample, (n, m))
                 particles, log_weights, estimate = pf_update_and_resample(
                     log_weights, log_liks, particles, uniforms,
                     alpha=self.soft_resample_alpha, interpret=interpret,
@@ -142,11 +163,12 @@ class ParticleFilterDef(FilterDef):
         if not train:
             if self.soft_resample_alpha >= 1.0:
                 particles, log_weights = multinomial_resample(
-                    k_resample, particles, log_weights
+                    k_resample, particles, log_weights, uniforms=uniforms
                 )
             else:
                 particles, log_weights = soft_resample(
-                    k_resample, particles, log_weights, self.soft_resample_alpha
+                    k_resample, particles, log_weights,
+                    self.soft_resample_alpha, uniforms=uniforms,
                 )
 
         return ParticleBelief(particles, log_weights), estimate
@@ -198,8 +220,35 @@ class ParticleFilterDef(FilterDef):
         )
         keys = jax.random.split(key, t)
 
+        eps_seq = uni_seq = None
+        if self.hoist_rng:
+            # Pre-draw every step's noise in one batched op (bitwise the
+            # in-scan stream — see the hoist_rng field comment). The split
+            # mirrors _step_core's `jax.random.split(key)` exactly.
+            pairs = jax.vmap(jax.random.split)(keys)
+            k_noise_seq, k_resample_seq = pairs[:, 0], pairs[:, 1]
+            m = belief.particles.shape[1]
+            d = self.state_dim
+            # dtype probe: eps must match the dynamics output dtype (bf16
+            # under with_compute_dtype) to reproduce the in-scan draw.
+            out_sds = jax.eval_shape(
+                self.dynamics_model.apply,
+                params["dynamics_model"],
+                jax.ShapeDtypeStruct((n * m, d), belief.particles.dtype),
+                jax.ShapeDtypeStruct(
+                    (n * m,) + controls_seq.shape[2:], controls_seq.dtype
+                ),
+            )[0]
+            eps_seq = jax.vmap(
+                lambda k: jax.random.normal(k, (n * m, d), dtype=out_sds.dtype)
+            )(k_noise_seq)
+            if not train:
+                uni_seq = jax.vmap(
+                    lambda k: jax.random.uniform(k, (n, m))
+                )(k_resample_seq)
+
         def scan_step(carry, inputs):
-            features_t, ctrl_t, key_t = inputs
+            features_t, ctrl_t, key_t, eps_t, uni_t = inputs
 
             def log_lik_fn(particles):
                 return self.measurement_model.log_likelihoods_from_features(
@@ -208,11 +257,13 @@ class ParticleFilterDef(FilterDef):
                 )
 
             return self._step_core(
-                params, carry, log_lik_fn, ctrl_t, key_t, train=train
+                params, carry, log_lik_fn, ctrl_t, key_t, train=train,
+                eps=eps_t, uniforms=uni_t,
             )
 
         final_belief, estimates = jax.lax.scan(
-            scan_step, belief, (features_seq, controls_seq, keys),
+            scan_step, belief,
+            (features_seq, controls_seq, keys, eps_seq, uni_seq),
             unroll=self.scan_unroll,
         )
         return final_belief, estimates

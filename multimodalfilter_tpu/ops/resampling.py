@@ -41,10 +41,15 @@ def _sample_indices(key: jax.Array, log_weights: jnp.ndarray, uniforms=None):
     return jnp.clip(indices, 0, m - 1)
 
 
-def multinomial_resample(key, particles, log_weights):
-    """Standard multinomial resampling; returns uniform weights."""
+def multinomial_resample(key, particles, log_weights, uniforms=None):
+    """Standard multinomial resampling; returns uniform weights.
+
+    `uniforms` (N, M) pre-drawn from `key` may be passed to support the
+    forward_loop's hoisted-RNG path (pf.py: the per-step draws are
+    counter-based functions of pre-split keys, so one batched draw outside
+    the scan is bitwise the in-scan stream)."""
     n, m, _ = particles.shape
-    indices = _sample_indices(key, log_weights)
+    indices = _sample_indices(key, log_weights, uniforms=uniforms)
     new_particles = _gather_particles(particles, indices)
     new_log_weights = jnp.full((n, m), -jnp.log(m), dtype=log_weights.dtype)
     return new_particles, new_log_weights
@@ -69,10 +74,11 @@ def systematic_resample(key, particles, log_weights):
     return new_particles, new_log_weights
 
 
-def soft_resample(key, particles, log_weights, alpha: float):
+def soft_resample(key, particles, log_weights, alpha: float, uniforms=None):
     """Differentiable soft resampling (sample from a mixture with a uniform,
     reweight by the importance ratio). Gradients flow through the returned
-    log-weights into the input weights."""
+    log-weights into the input weights. `uniforms` as in
+    multinomial_resample (hoisted-RNG path)."""
     n, m, _ = particles.shape
     probs = jnp.exp(log_weights)
     mixture = alpha * probs + (1.0 - alpha) / m
@@ -80,7 +86,8 @@ def soft_resample(key, particles, log_weights, alpha: float):
     # Sample from the mixture (indices are non-differentiable by nature).
     cdf = jnp.cumsum(mixture, axis=-1)
     cdf = cdf / cdf[..., -1:]
-    uniforms = jax.random.uniform(key, (n, m))
+    if uniforms is None:
+        uniforms = jax.random.uniform(key, (n, m))
     indices = jax.vmap(jnp.searchsorted)(cdf, uniforms)
     indices = jnp.clip(indices, 0, m - 1)
 
