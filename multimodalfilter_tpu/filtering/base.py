@@ -54,6 +54,27 @@ class DynamicsDef:
     def apply(self, params: Params, states, controls):
         return self.net.apply({"params": params}, states, controls)
 
+    @property
+    def supports_control_hoist(self) -> bool:
+        """True when the net splits into a carry-independent control encoder
+        + remainder (DynamicsNet does; custom nets may not)."""
+        return hasattr(self.net, "encode_controls") and hasattr(
+            self.net, "from_control_features"
+        )
+
+    def encode_controls(self, params: Params, controls):
+        """Carry-independent control features — pf.forward_loop hoists this
+        out of the filter scan and batches it over all T*N rows."""
+        return self.net.apply(
+            {"params": params}, controls, method=type(self.net).encode_controls
+        )
+
+    def apply_with_control_features(self, params: Params, states, control_features):
+        return self.net.apply(
+            {"params": params}, states, control_features,
+            method=type(self.net).from_control_features,
+        )
+
     def forward_loop(self, params: Params, initial_states, controls_seq):
         """Noise-free mean rollout. controls_seq: (T, N, C). Returns
         (states (T, N, D), scale_trils (T, N, D, D))."""

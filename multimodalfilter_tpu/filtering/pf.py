@@ -64,6 +64,13 @@ class ParticleFilterDef(FilterDef):
     # threefry chain from the scan body — profiled N=1, those chains were
     # ~23% of per-step self-time (docs/PERFORMANCE.md round-4 attribution).
     hoist_rng: bool = True
+    # Hoist the dynamics CONTROL encoder out of the scan: controls are
+    # carry-independent (the same value is re-encoded for every particle
+    # row today), so one (T*N)-batched pass before the scan replaces an
+    # (N*M)-row MLP+resblock inside every step. Same math row-for-row;
+    # bitwise-tested (tests/test_rng_hoist.py). Requires the dynamics net
+    # to expose the split (DynamicsNet does); silently off otherwise.
+    hoist_ctrl: bool = True
 
     def num_particles(self, train: bool) -> int:
         # Matches DoorParticleFilter.train() (pf.py:24-27): 30 train, 300 eval.
@@ -89,7 +96,7 @@ class ParticleFilterDef(FilterDef):
 
     def _step_core(
         self, params, belief, log_lik_fn, controls, key, *, train: bool,
-        eps=None, uniforms=None,
+        eps=None, uniforms=None, ctrl_features=None,
     ):
         """One PF timestep given a log-likelihood closure over the propagated
         particles. Shared by step (inline obs) and forward_loop (hoisted
@@ -109,10 +116,18 @@ class ParticleFilterDef(FilterDef):
 
         # --- Dynamics propagation (flatten N, M into one matmul batch) ---
         flat_particles = particles.reshape(n * m, d)
-        flat_controls = jnp.repeat(controls, m, axis=0)
-        pred_mean, scale_tril = self.dynamics_model.apply(
-            params["dynamics_model"], flat_particles, flat_controls
-        )
+        if ctrl_features is not None:
+            # Hoisted control features (N, U): broadcast over particles —
+            # the control encoder already ran in the pre-scan batch.
+            flat_feat = jnp.repeat(ctrl_features, m, axis=0)
+            pred_mean, scale_tril = self.dynamics_model.apply_with_control_features(
+                params["dynamics_model"], flat_particles, flat_feat
+            )
+        else:
+            flat_controls = jnp.repeat(controls, m, axis=0)
+            pred_mean, scale_tril = self.dynamics_model.apply(
+                params["dynamics_model"], flat_particles, flat_controls
+            )
         if eps is None:
             eps = jax.random.normal(
                 k_noise, pred_mean.shape, dtype=pred_mean.dtype
@@ -220,6 +235,18 @@ class ParticleFilterDef(FilterDef):
         )
         keys = jax.random.split(key, t)
 
+        ctrl_feat_seq = None
+        if self.hoist_ctrl and self.dynamics_model.supports_control_hoist:
+            # Control features are carry-independent: encode all T*N control
+            # rows in one batch (the obs-encoder hoist, applied to the
+            # dynamics side). The scan body then broadcasts (N, U) over M
+            # instead of running the control MLP on (N*M) rows every step.
+            flat_ctrl = controls_seq.reshape((t * n,) + controls_seq.shape[2:])
+            ctrl_feat = self.dynamics_model.encode_controls(
+                params["dynamics_model"], flat_ctrl
+            )
+            ctrl_feat_seq = ctrl_feat.reshape((t, n) + ctrl_feat.shape[1:])
+
         eps_seq = uni_seq = None
         if self.hoist_rng:
             # Pre-draw every step's noise in one batched op (bitwise the
@@ -248,7 +275,7 @@ class ParticleFilterDef(FilterDef):
                 )(k_resample_seq)
 
         def scan_step(carry, inputs):
-            features_t, ctrl_t, key_t, eps_t, uni_t = inputs
+            features_t, ctrl_t, key_t, eps_t, uni_t, ctrl_feat_t = inputs
 
             def log_lik_fn(particles):
                 return self.measurement_model.log_likelihoods_from_features(
@@ -258,12 +285,13 @@ class ParticleFilterDef(FilterDef):
 
             return self._step_core(
                 params, carry, log_lik_fn, ctrl_t, key_t, train=train,
-                eps=eps_t, uniforms=uni_t,
+                eps=eps_t, uniforms=uni_t, ctrl_features=ctrl_feat_t,
             )
 
         final_belief, estimates = jax.lax.scan(
             scan_step, belief,
-            (features_seq, controls_seq, keys, eps_seq, uni_seq),
+            (features_seq, controls_seq, keys, eps_seq, uni_seq,
+             ctrl_feat_seq),
             unroll=self.scan_unroll,
         )
         return final_belief, estimates

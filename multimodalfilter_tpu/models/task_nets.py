@@ -116,23 +116,37 @@ class DynamicsNet(nn.Module):
     q_scale_tril_diag: Tuple[float, ...]
     units: int = 64
 
-    @nn.compact
-    def __call__(self, states, controls):
-        """states: (B, state_dim); controls: (B, control_dim).
-        Returns (new_states (B, D), scale_tril (B, D, D))."""
+    def setup(self):
+        # setup-style (attribute name = param scope, identical paths to the
+        # previous @nn.compact form) so the control encoder can be invoked
+        # separately: it is carry-independent, and pf.forward_loop hoists it
+        # out of the filter scan (`encode_controls` below).
+        self.control_layers = MLPEncoder(self.units)
+        self.state_layers = MLPEncoder(self.units)
+        self.shared_dense_in = nn.Dense(self.units)
+        self.shared_resblock0 = LinearResblock(self.units)
+        self.shared_resblock1 = LinearResblock(self.units)
+        self.shared_resblock2 = LinearResblock(self.units)
+        self.shared_dense_out = nn.Dense(self.state_dim + 1)
+
+    def encode_controls(self, controls):
+        """Control features (B, units) — carry-independent (hoistable)."""
+        return self.control_layers(controls)
+
+    def from_control_features(self, states, control_features):
+        """The carry-dependent remainder of __call__."""
         assert states.shape[-1] == self.state_dim
-        control_features = MLPEncoder(self.units, name="control_layers")(controls)
-        state_features = MLPEncoder(self.units, name="state_layers")(states)
+        state_features = self.state_layers(states)
         # Reference concat order: (control, state) — dynamics.py:53.
         merged = jnp.concatenate([control_features, state_features], axis=-1)
 
         # Shared trunk: Dense (no activation before first resblock, matching
         # dynamics.py:28-34), 3 resblocks, Dense -> state_dim + 1.
-        x = nn.Dense(self.units, name="shared_dense_in")(merged)
-        x = LinearResblock(self.units, name="shared_resblock0")(x)
-        x = LinearResblock(self.units, name="shared_resblock1")(x)
-        x = LinearResblock(self.units, name="shared_resblock2")(x)
-        x = nn.Dense(self.state_dim + 1, name="shared_dense_out")(x)
+        x = self.shared_dense_in(merged)
+        x = self.shared_resblock0(x)
+        x = self.shared_resblock1(x)
+        x = self.shared_resblock2(x)
+        x = self.shared_dense_out(x)
 
         direction = x[..., : self.state_dim]
         gate = jax.nn.sigmoid(x[..., -1:])
@@ -143,6 +157,13 @@ class DynamicsNet(nn.Module):
             jnp.diag(q_diag), states.shape[:-1] + (self.state_dim, self.state_dim)
         )
         return states_new, scale_tril
+
+    def __call__(self, states, controls):
+        """states: (B, state_dim); controls: (B, control_dim).
+        Returns (new_states (B, D), scale_tril (B, D, D))."""
+        return self.from_control_features(
+            states, self.encode_controls(controls)
+        )
 
 
 class LogLikelihoodNet(nn.Module):

@@ -85,6 +85,55 @@ def test_hoist_bitwise_soft_resample():
     )
 
 
+@pytest.mark.parametrize("train", [False, True])
+def test_ctrl_hoist_bitwise(train):
+    """Hoisting the dynamics control encoder out of the scan (one (T*N)
+    batch, broadcast over M in the body) must match the in-scan per-(N*M)
+    encoding bitwise: identical per-row math."""
+    from crossmodal.door_models import DoorCrossmodalParticleFilter
+
+    model = DoorCrossmodalParticleFilter()
+    defn = dataclasses.replace(
+        model.definition, num_particles_train=8, num_particles_eval=16
+    )
+    obs, ctrl, key = _inputs(n=2, t=5, key_seed=21)
+    fh, eh = _run(
+        dataclasses.replace(defn, hoist_ctrl=True),
+        model.params, obs, ctrl, key, train,
+    )
+    fi, ei = _run(
+        dataclasses.replace(defn, hoist_ctrl=False),
+        model.params, obs, ctrl, key, train,
+    )
+    np.testing.assert_array_equal(np.asarray(eh), np.asarray(ei))
+    np.testing.assert_array_equal(
+        np.asarray(fh.particles), np.asarray(fi.particles)
+    )
+
+
+def test_dynamics_net_split_matches_call():
+    """encode_controls + from_control_features == __call__ (param paths
+    unchanged by the setup-style restructure)."""
+    from crossmodal.door_models import DoorParticleFilter
+
+    model = DoorParticleFilter()
+    dyn = model.definition.dynamics_model
+    params = model.params["dynamics_model"]
+    assert set(params.keys()) == {
+        "control_layers", "state_layers", "shared_dense_in",
+        "shared_resblock0", "shared_resblock1", "shared_resblock2",
+        "shared_dense_out",
+    }
+    key = jax.random.PRNGKey(0)
+    s = jax.random.normal(key, (6, 3))
+    c = jax.random.normal(jax.random.fold_in(key, 1), (6, 7))
+    new_a, tril_a = dyn.apply(params, s, c)
+    feat = dyn.encode_controls(params, c)
+    new_b, tril_b = dyn.apply_with_control_features(params, s, feat)
+    np.testing.assert_array_equal(np.asarray(new_a), np.asarray(new_b))
+    np.testing.assert_array_equal(np.asarray(tril_a), np.asarray(tril_b))
+
+
 def test_hoist_bitwise_bf16_compute():
     """The eps dtype probe must reproduce the bf16-mode draw exactly."""
     from crossmodal.door_models import DoorParticleFilter
