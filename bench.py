@@ -64,7 +64,9 @@ def log(msg):
 
 
 def bench_jax(batch: int = BATCH, measure_flops: bool = False, bf16: bool = None,
-              fold: bool = False, stack: bool = False, unroll: int = 1):
+              fold: bool = False, stack: bool = False, unroll: int = 1,
+              hoist_rng: bool = None, hoist_ctrl: bool = None,
+              fused: bool = False):
     """Returns (filter_steps_per_sec, flops_per_filter_step | None)."""
     import jax
     import jax.numpy as jnp
@@ -106,6 +108,23 @@ def bench_jax(batch: int = BATCH, measure_flops: bool = False, bf16: bool = None
 
         defn = with_scan_unroll(defn, unroll)
         log(f"[bench] forward_loop scan unroll={unroll}")
+    # A/B knobs for the round-5 scan hoists (both default ON in the defs;
+    # None leaves the def untouched).
+    if hoist_rng is not None:
+        from multimodalfilter_tpu.utils.precision import with_hoist_rng
+
+        defn = with_hoist_rng(defn, hoist_rng)
+        log(f"[bench] hoist_rng={hoist_rng}")
+    if hoist_ctrl is not None:
+        from multimodalfilter_tpu.utils.precision import with_hoist_ctrl
+
+        defn = with_hoist_ctrl(defn, hoist_ctrl)
+        log(f"[bench] hoist_ctrl={hoist_ctrl}")
+    if fused:
+        from multimodalfilter_tpu.utils.precision import with_fused_step
+
+        defn = with_fused_step(defn, True)
+        log("[bench] fused whole-trajectory step kernel enabled")
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 5)

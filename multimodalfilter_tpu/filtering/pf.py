@@ -71,6 +71,15 @@ class ParticleFilterDef(FilterDef):
     # bitwise-tested (tests/test_rng_hoist.py). Requires the dynamics net
     # to expose the split (DynamicsNet does); silently off otherwise.
     hoist_ctrl: bool = True
+    # Run the ENTIRE eval forward_loop as ONE Pallas kernel (grid over
+    # (N, T), belief carried in VMEM scratch, weights VMEM-resident —
+    # ops/pallas_fused_step.py). Removes the ~70-tiny-ops-per-step dispatch
+    # bottleneck of the N-small serving regime (round-4 attribution). Exact
+    # recursion, fp-reassociated (split concat->dense layers): estimates
+    # match to tolerance, tie-level resample draws can flip. Serving knob
+    # (MMF_TPU_FUSED_STEP=1); unsupported configs fall back to the scan
+    # path silently.
+    fused_step: bool = False
 
     def num_particles(self, train: bool) -> int:
         # Matches DoorParticleFilter.train() (pf.py:24-27): 30 train, 300 eval.
@@ -273,6 +282,23 @@ class ParticleFilterDef(FilterDef):
                 uni_seq = jax.vmap(
                     lambda k: jax.random.uniform(k, (n, m))
                 )(k_resample_seq)
+
+        if (
+            self.fused_step
+            and not train
+            and self.pallas_resample
+            and eps_seq is not None
+            and uni_seq is not None
+        ):
+            from ..ops.pallas_fused_step import try_fused_forward
+
+            out = try_fused_forward(
+                self, params, belief, features_seq, ctrl_feat_seq,
+                eps_seq, uni_seq, enabled,
+                interpret=jax.default_backend() != "tpu",
+            )
+            if out is not None:
+                return out
 
         def scan_step(carry, inputs):
             features_t, ctrl_t, key_t, eps_t, uni_t, ctrl_feat_t = inputs

@@ -225,6 +225,18 @@ class StatefulFilter:
             from ..utils.precision import with_stacked_encoders
 
             definition = with_stacked_encoders(definition, True)
+        # MMF_TPU_FUSED_STEP=1: run the whole eval forward_loop as ONE
+        # Pallas kernel (ops/pallas_fused_step.py) — the N-small serving
+        # endgame (the per-step program is op-count bound; see the N=1
+        # attribution in docs/PERFORMANCE.md). Exact recursion,
+        # fp-reassociated; tie-level resample draws can flip, so it is a
+        # serving knob, NOT part of MMF_TPU_SERVING=1 (which preserves the
+        # scan path's reference-comparable streams). Unsupported
+        # model/config combos fall back to the scan path silently.
+        if knob("MMF_TPU_FUSED_STEP", False):
+            from ..utils.precision import with_fused_step
+
+            definition = with_fused_step(definition, True)
         self.definition = definition
         # jit the init: eager flax init dispatches hundreds of small ops,
         # which is pathological over a remote-TPU tunnel.

@@ -58,6 +58,31 @@ def with_scan_unroll(obj, unroll: int):
     return _with_field(obj, "scan_unroll", int(unroll))
 
 
+def with_hoist_rng(obj, hoist: bool = True):
+    """Set the `hoist_rng` field throughout a def tree: forward_loop draws
+    all per-step PF noise/resampling randoms in ONE batched pre-scan pass
+    (bitwise-identical threefry stream — ParticleFilterDef.hoist_rng).
+    Default-on; this knob exists for A/B measurement."""
+    return _with_field(obj, "hoist_rng", hoist)
+
+
+def with_hoist_ctrl(obj, hoist: bool = True):
+    """Set the `hoist_ctrl` field throughout a def tree: forward_loop
+    encodes all T*N control rows in one pre-scan batch instead of
+    re-encoding per particle per step (bitwise row math —
+    ParticleFilterDef.hoist_ctrl). Default-on; A/B knob."""
+    return _with_field(obj, "hoist_ctrl", hoist)
+
+
+def with_fused_step(obj, fused: bool = True):
+    """Set the `fused_step` field throughout a def tree: the eval
+    forward_loop runs as ONE Pallas kernel (ops/pallas_fused_step.py) when
+    the model/config is supported, falling back to the scan path otherwise.
+    Serving knob (MMF_TPU_FUSED_STEP=1): exact recursion, fp-reassociated —
+    tie-level resample draws can flip vs the scan path."""
+    return _with_field(obj, "fused_step", fused)
+
+
 def with_stacked_encoders(obj, stack: bool = True):
     """Set the `stack_image_encoders` field on every fusion def in the tree:
     the K independent image encoders consuming the same frame (measurement
