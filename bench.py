@@ -780,39 +780,39 @@ def main():
     # latency_n1_unroll) so round-over-round consumers can tell a PRNG- or
     # unroll-config change from a same-program perf win (advisor r4), and so
     # README/docs/BENCH all quote one canonical, labeled number.
-    lat_prng, lat_unroll = None, None
+    lat_prng, lat_unroll, lat_fused = None, None, None
     if (
         os.environ.get("BENCH_LATENCY", "1") == "1"
         and not over_budget("N=1 latency config")
     ):
         try:
-            # MMF_TPU_SCAN_UNROLL=10 is part of the recommended N=1 serving
-            # stack: the step is op-count-bound (~49 body ops x ~0.16us
-            # fixed cost — docs/PERFORMANCE.md round-4 attribution), and
-            # unrolling amortizes loop machinery / batches per-step RNG
-            # chains (A/B on-chip: 40.7 -> 37.1 us/step; neutral >=20
-            # within noise). BENCH_UNROLL_N1=1 restores the plain scan.
-            #
-            # MMF_TPU_RBG-equivalent hardware RNG is also part of the N=1
-            # stack: the attribution put ~23% of self-time in threefry
-            # chains, and RngBitGenerator draws recover most of it (A/B
-            # on-chip, same boot: 37.4 -> 31.7 us/step at unroll=10).
-            # Scoped to this config only — every other bench number keeps
-            # reference-comparable threefry streams. BENCH_RBG_N1=0
-            # restores threefry.
+            # Round-5 N=1 serving stack: the fused whole-trajectory Pallas
+            # step kernel (ops/pallas_fused_step.py) + the default scan
+            # hoists. Same-boot A/B battery (scripts/ab_hoist_n1.py):
+            # round-4 state 37.7 us/step -> 28.8 with the hoists ->
+            # ~25-26 fused, all with reference-stream threefry — the
+            # hoists moved RNG out of the loop, so the round-4 unsafe_rbg
+            # default is no longer needed (29.7 rbg vs 28.8 threefry) and
+            # the canonical config is PRNG-caveat-free. BENCH_FUSED_N1=0
+            # restores the scan path; BENCH_RBG_N1=1 / BENCH_UNROLL_N1=k
+            # re-enable the old knobs for comparison runs.
             import jax as _jax
 
-            use_rbg = os.environ.get("BENCH_RBG_N1", "1") == "1"
+            use_rbg = os.environ.get("BENCH_RBG_N1", "0") == "1"
+            use_fused = os.environ.get("BENCH_FUSED_N1", "1") == "1"
             prev_impl = _jax.config.jax_default_prng_impl
             lat_prng = "unsafe_rbg" if use_rbg else "threefry"
-            lat_unroll = int(os.environ.get("BENCH_UNROLL_N1", "10"))
+            lat_unroll = int(
+                os.environ.get("BENCH_UNROLL_N1", "1" if use_fused else "10")
+            )
+            lat_fused = use_fused
             if use_rbg:
                 _jax.config.update("jax_default_prng_impl", "unsafe_rbg")
-                log("[bench] N=1 config: unsafe_rbg PRNG (BENCH_RBG_N1=0 "
-                    "for threefry)")
+                log("[bench] N=1 config: unsafe_rbg PRNG (comparison mode)")
             try:
                 lat_sps, _ = bench_jax(
                     batch=1, bf16=True, fold=True, unroll=lat_unroll,
+                    fused=use_fused,
                 )
             finally:
                 if use_rbg:
@@ -950,6 +950,7 @@ def main():
                 # this figure); README/docs quote THIS number + config.
                 "latency_n1_prng": lat_prng if latency_us else None,
                 "latency_n1_unroll": lat_unroll if latency_us else None,
+                "latency_n1_fused": lat_fused if latency_us else None,
                 "train_steps_per_sec": round(train_sps, 1) if train_sps else None,
                 "train_steps_per_sec_saturated_bf16": (
                     round(train_sat_sps, 1) if train_sat_sps else None

@@ -161,9 +161,11 @@ def _fused_kernel(parts0_ref, lw0_ref, noise_ref, u_ref, rows_ref, gate_ref,
                   parts_s, lw_s, *, m_real: int, d: int, K: int, t_total: int):
     """One (n, t) grid step = one full filter timestep for batch row n.
 
-    parts0_ref (1, D, M) / lw0_ref (1, M): initial belief (read at t==0).
+    parts0_ref (1, D, M) / lw0_ref (1, 1, M): initial belief (read at t==0).
     noise_ref (1, 1, D, M): pre-drawn q_diag-scaled dynamics noise.
-    u_ref (1, 1, M): resampling uniforms.
+    u_ref (1, 1, 1, M): resampling uniforms. (Singleton dims exist so every
+        VMEM block's last two dims equal the array's — a Mosaic tiling
+        requirement once N > 1.)
     rows_ref (1, 1, 64, 1+K): hoisted dense_in contributions — col 0 the
         dynamics (control@W_ctrl + b_in) row, col 1+k modality k's
         (obs_features@W_obs + b_in) row.
@@ -180,7 +182,7 @@ def _fused_kernel(parts0_ref, lw0_ref, noise_ref, u_ref, rows_ref, gate_ref,
     @pl.when(t == 0)
     def _():
         parts_s[:] = parts0_ref[:]
-        lw_s[:] = lw0_ref[:]
+        lw_s[:] = lw0_ref[0]
 
     parts2d = parts_s[0]  # (D, M) feature-major
     m_pad = parts2d.shape[-1]
@@ -237,7 +239,7 @@ def _fused_kernel(parts0_ref, lw0_ref, noise_ref, u_ref, rows_ref, gate_ref,
         zm = mres(4, zm)
         zm = mres(6, zm)
         llk = mdense(8, zm)  # (64, M), row 0 is the log-likelihood
-        lls.append(llk[0:1] + gate_ref[0, 0, k])
+        lls.append(llk[0:1] + gate_ref[0, 0, 0, k])
     if K == 1:
         ll = lls[0]  # exact: logsumexp over one term is the identity
     else:
@@ -260,8 +262,8 @@ def _fused_kernel(parts0_ref, lw0_ref, noise_ref, u_ref, rows_ref, gate_ref,
         preferred_element_type=jnp.float32, precision=_HIGH,
     )  # (1, D)
     est_ref[:] = jnp.concatenate(
-        [est, jnp.zeros((1, est_ref.shape[2] - d), jnp.float32)], axis=1
-    )[:, None, :]
+        [est, jnp.zeros((1, est_ref.shape[-1] - d), jnp.float32)], axis=1
+    )[None, None]
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (m_pad, m_pad), 0)
     col_ids2 = jax.lax.broadcasted_iota(jnp.int32, (m_pad, m_pad), 1)
@@ -271,7 +273,7 @@ def _fused_kernel(parts0_ref, lw0_ref, noise_ref, u_ref, rows_ref, gate_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_HIGH,
     )  # (1, M)
-    uniforms = u_ref[0]  # (1, M)
+    uniforms = u_ref[0, 0]  # (1, M)
     mask = (cdf[:, None, :] < uniforms[:, :, None]).astype(jnp.float32)
     indices = jnp.sum(mask, axis=2).astype(jnp.int32)
     indices = jnp.minimum(indices, m_real - 1)
@@ -290,7 +292,7 @@ def _fused_kernel(parts0_ref, lw0_ref, noise_ref, u_ref, rows_ref, gate_ref,
     @pl.when(t == t_total - 1)
     def _():
         outp_ref[:] = parts_s[:]
-        outlw_ref[:] = lw_s[:]
+        outlw_ref[:] = lw_s[:][None]
 
 
 # ---------------------------------------------------------------------------
@@ -390,14 +392,16 @@ def _fused_forward(defn, params, belief, features_seq, ctrl_feat_seq,
 
     gate_arr = (
         gate if gate is not None else jnp.zeros((t, n, K), jnp.float32)
-    ).astype(jnp.float32)
+    ).astype(jnp.float32)[:, :, None, :]  # (T, N, 1, K)
 
     # --- noise / uniforms / belief, feature-major + padded ---
     q_diag = jnp.asarray(dyn_net.q_scale_tril_diag, jnp.float32)
     m_pad = _round_up(m, 128)
     noise = (eps_seq.reshape(t, n, m, d) * q_diag).transpose(0, 1, 3, 2)
     noise = jnp.pad(noise, ((0, 0), (0, 0), (0, 0), (0, m_pad - m)))
-    unis = jnp.pad(uni_seq, ((0, 0), (0, 0), (0, m_pad - m)))
+    unis = jnp.pad(
+        uni_seq, ((0, 0), (0, 0), (0, m_pad - m))
+    )[:, :, None, :]  # (T, N, 1, M_pad)
     parts0 = jnp.pad(
         particles.astype(jnp.float32).transpose(0, 2, 1),
         ((0, 0), (0, 0), (0, m_pad - m)),
@@ -405,7 +409,7 @@ def _fused_forward(defn, params, belief, features_seq, ctrl_feat_seq,
     lw0 = jnp.pad(
         log_weights.astype(jnp.float32), ((0, 0), (0, m_pad - m)),
         constant_values=NEG_INF,
-    )
+    )[:, None, :]  # (N, 1, M_pad)
 
     kernel = functools.partial(
         _fused_kernel, m_real=m, d=d, K=K, t_total=t
@@ -416,15 +420,15 @@ def _fused_forward(defn, params, belief, features_seq, ctrl_feat_seq,
         in_specs=[
             pl.BlockSpec((1, d, m_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 1, m_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, d, m_pad), lambda i, j: (j, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m_pad), lambda i, j: (j, i, 0),
+            pl.BlockSpec((1, 1, 1, m_pad), lambda i, j: (j, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, UNITS, 1 + K), lambda i, j: (j, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K), lambda i, j: (j, i, 0),
+            pl.BlockSpec((1, 1, 1, K), lambda i, j: (j, i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((11, UNITS, UNITS), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -436,17 +440,17 @@ def _fused_forward(defn, params, belief, features_seq, ctrl_feat_seq,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 128), lambda i, j: (j, i, 0),
+            pl.BlockSpec((1, 1, 1, 128), lambda i, j: (j, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d, m_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 1, m_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, n, 128), jnp.float32),
+            jax.ShapeDtypeStruct((t, n, 1, 128), jnp.float32),
             jax.ShapeDtypeStruct((n, d, m_pad), jnp.float32),
-            jax.ShapeDtypeStruct((n, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, m_pad), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, d, m_pad), jnp.float32),
@@ -458,6 +462,6 @@ def _fused_forward(defn, params, belief, features_seq, ctrl_feat_seq,
     from ..types import ParticleBelief
 
     new_belief = ParticleBelief(
-        outp[:, :, :m].transpose(0, 2, 1), outlw[:, :m]
+        outp[:, :, :m].transpose(0, 2, 1), outlw[:, 0, :m]
     )
-    return new_belief, est[:, :, :d]
+    return new_belief, est[:, :, 0, :d]

@@ -324,6 +324,67 @@ def smoke_bf16():
     assert np.all(np.isfinite(np.asarray(est))), "bf16 estimates not finite"
 
 
+@check("fused whole-trajectory step kernel matches scan path on hardware")
+def smoke_fused_step():
+    """MMF_TPU_FUSED_STEP compiles a Mosaic program (grid carry in VMEM
+    scratch) that CPU interpret mode cannot validate — run the fused vs
+    scan forward_loop on the chip and compare estimates to fp-reassociation
+    tolerance (ops/pallas_fused_step.py; tie-level resample draws may
+    flip, same class as the documented large-M cumsum reassociation)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from crossmodal.door_models import DoorCrossmodalParticleFilter
+    from multimodalfilter_tpu.ops import pallas_fused_step as pfs
+    from multimodalfilter_tpu.utils.precision import with_fused_step
+
+    model = DoorCrossmodalParticleFilter()
+    defn = dataclasses.replace(
+        model.definition, num_particles_eval=100, pallas_resample=True
+    )
+    n, t = 2, 16
+    obs, controls, _ = _flagship_batch(n, t)
+    key = jax.random.PRNGKey(5)
+    mean = jnp.zeros((n, 3))
+    cov = jnp.broadcast_to(jnp.eye(3) * 0.1, (n, 3, 3))
+    belief = defn.initialize_beliefs(model.params, key, mean, cov, train=False)
+
+    def run(d, precision=None):
+        @jax.jit
+        def go(params, belief, obs, controls, key):
+            _, est = d.forward_loop(
+                params, belief, obs, controls, key, train=False,
+                enabled=(True, True),
+            )
+            return est
+
+        if precision:
+            with jax.default_matmul_precision(precision):
+                return np.asarray(go(model.params, belief, obs, controls, key))
+        return np.asarray(go(model.params, belief, obs, controls, key))
+
+    # The kernel computes its trunk matmuls in true fp32 (HIGHEST); the
+    # scan path's flax Dense layers run at XLA:TPU DEFAULT precision
+    # (bf16 passes, ~2e-2 relative on this trunk). Compare tightly against
+    # a highest-precision scan reference (isolates reassociation from
+    # precision policy), and loosely against the production default path.
+    fused_defn = with_fused_step(defn, True)
+    est_scan_hi = run(defn, precision="highest")
+    est_fused_hi = run(fused_defn, precision="highest")
+    assert pfs.packing_report() is None, pfs.packing_report()
+    np.testing.assert_allclose(est_fused_hi, est_scan_hi, rtol=2e-4, atol=2e-4)
+    # Production-default comparison: encoders/rows outside the kernel run
+    # at default precision either way; only the trunk differs (bf16-pass
+    # scan vs fp32 kernel) — bf16-class agreement expected.
+    est_scan_default = run(defn)
+    est_fused_default = run(fused_defn)
+    np.testing.assert_allclose(
+        est_fused_default, est_scan_default, rtol=0.2, atol=0.05
+    )
+
+
 @check("rbg PRNG (RngBitGenerator) rollout on hardware")
 def smoke_rbg():
     """MMF_TPU_RBG draws lower to the RngBitGenerator HLO — a TPU hardware
@@ -563,6 +624,7 @@ def main():
     smoke_pallas_chunked_large()
     smoke_pallas_train()
     smoke_bf16()
+    smoke_fused_step()
     smoke_rbg()
     smoke_fold_enc()
     smoke_train_step()
