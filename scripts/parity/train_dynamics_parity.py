@@ -37,11 +37,25 @@ sys.path.insert(0, os.path.abspath(os.path.dirname(__file__)))
 def run_parity(full: bool = False, synth_traj: int = 4, synth_t: int = 48,
                workdir: str = None, use_cpu: bool = True):
     """Returns a list of rows: {phase, framework, theta_rmse_deg, x_rmse_cm,
-    y_rmse_cm, seconds}."""
-    if use_cpu:
-        import jax
+    y_rmse_cm, seconds}.
 
+    use_cpu=True pins JAX to the host CPU — fully deterministic, but
+    XLA:CPU's conv-gradient lowering is ~100x slower than torch's, so the
+    conv-bearing phases (virtual sensor, e2e) take hours on a 1-core box;
+    use it for the abbreviated suite test. use_cpu=False (--device tpu)
+    runs the JAX side on the accelerator with
+    jax_default_matmul_precision=highest, so matmuls/convs stay fp32-exact
+    (TPU default would be bf16 passes) and only libm-level transcendental
+    differences separate the frameworks — the config behind the full-
+    curriculum table in docs/parity_training_r5.md."""
+    import jax
+
+    if use_cpu:
         jax.config.update("jax_platforms", "cpu")
+    # fp32-exact matmuls/convs on either backend: on TPU the default would
+    # be bf16 passes, which would widen the cross-framework tolerance from
+    # reassociation-level to bf16-level.
+    jax.config.update("jax_default_matmul_precision", "highest")
     os.environ.setdefault("MMF_TPU_EVAL_DEVICE_THROUGHPUT", "0")
     os.environ["MMF_TPU_SYNTHESIZE_DATA"] = "1"
     os.environ["MMF_TPU_SYNTH_TRAJ"] = str(synth_traj)
@@ -202,9 +216,12 @@ def main():
     ap.add_argument("--synth-traj", type=int, default=4)
     ap.add_argument("--synth-t", type=int, default=48)
     ap.add_argument("--markdown", default=None)
+    ap.add_argument("--device", choices=("cpu", "tpu"), default="cpu",
+                    help="JAX-side device (torch always runs on CPU); see "
+                    "run_parity docstring for the cpu-conv-gradient caveat")
     args = ap.parse_args()
     rows = run_parity(full=args.full, synth_traj=args.synth_traj,
-                      synth_t=args.synth_t)
+                      synth_t=args.synth_t, use_cpu=args.device == "cpu")
     table = to_markdown(rows)
     print(table)
     if args.markdown:
@@ -216,7 +233,9 @@ def main():
                 "weights, identical batch-index streams, Adam(1e-4) both "
                 "sides. Generated by scripts/parity/train_dynamics_parity"
                 f".py ({'full' if args.full else 'abbreviated'} schedule, "
-                f"{args.synth_traj} trajs x T={args.synth_t}).\n\n"
+                f"{args.synth_traj} trajs x T={args.synth_t}; JAX side on "
+                f"{args.device} with matmul precision=highest, torch on "
+                "CPU).\n\n"
             )
             f.write(table + "\n")
         print(f"wrote {args.markdown}")
