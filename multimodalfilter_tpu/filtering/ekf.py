@@ -56,6 +56,13 @@ class VirtualSensorEKFDef(FilterDef):
     # forward_loop lax.scan unroll factor (numerics-identical; serving knob
     # MMF_TPU_SCAN_UNROLL — see ParticleFilterDef.scan_unroll).
     scan_unroll: int = 1
+    # Hoist the dynamics control encoder out of the forward_loop scan: the
+    # control MLP is carry-independent, so it runs once over all T*N rows
+    # instead of once per scan step. Bitwise-identical row math (the jacfwd
+    # tangent path never touches the control branch — controls carry no
+    # tangents either way); tests/test_ekf_hoist.py. Mirrors
+    # ParticleFilterDef.hoist_ctrl.
+    hoist_ctrl: bool = True
 
     def init(self, key):
         k_dyn, k_vs = jax.random.split(key)
@@ -76,26 +83,69 @@ class VirtualSensorEKFDef(FilterDef):
         cov = r_tril @ jnp.swapaxes(r_tril, -1, -2)
         return GaussianBelief(z, cov)
 
-    def predict(self, params, belief: GaussianBelief, controls):
-        """EKF predict step (exposed for fusion filters)."""
+    def predict(self, params, belief: GaussianBelief, controls, *,
+                ctrl_feat=None):
+        """EKF predict step (exposed for fusion filters).
+
+        When ``ctrl_feat`` is given (hoisted control features, see
+        ``precompute_control_features``), the dynamics runs its
+        carry-dependent remainder only; ``controls`` is ignored. The
+        Jacobian is with respect to the state either way — the control
+        branch is a constant under ``jacfwd`` — so the two paths are
+        bitwise-identical per row.
+        """
         mean, cov = belief
         dyn_params = params["dynamics_model"]
 
-        def mean_fn(s, c):
-            new, tril = self.dynamics_model.apply(dyn_params, s[None], c[None])
-            return new[0], (new[0], tril[0])
+        if ctrl_feat is None:
+
+            def mean_fn(s, c):
+                new, tril = self.dynamics_model.apply(
+                    dyn_params, s[None], c[None]
+                )
+                return new[0], (new[0], tril[0])
+
+            ctrl_in = controls
+        else:
+
+            def mean_fn(s, cf):
+                new, tril = self.dynamics_model.apply_with_control_features(
+                    dyn_params, s[None], cf[None]
+                )
+                return new[0], (new[0], tril[0])
+
+            ctrl_in = ctrl_feat
 
         jac_fn = jax.jacfwd(mean_fn, has_aux=True)
-        f, (pred_mean, q_tril) = jax.vmap(jac_fn)(mean, controls)
+        f, (pred_mean, q_tril) = jax.vmap(jac_fn)(mean, ctrl_in)
         q = q_tril @ jnp.swapaxes(q_tril, -1, -2)
         pred_cov = f @ cov @ jnp.swapaxes(f, -1, -2) + q
         return pred_mean, pred_cov
 
-    def update_from_virtual(self, params, belief: GaussianBelief, z, r_tril, controls):
+    def update_from_virtual(self, params, belief: GaussianBelief, z, r_tril,
+                            controls, *, ctrl_feat=None):
         """Predict + update given a precomputed virtual measurement."""
-        pred_mean, pred_cov = self.predict(params, belief, controls)
+        pred_mean, pred_cov = self.predict(
+            params, belief, controls, ctrl_feat=ctrl_feat
+        )
         mean, cov = _kalman_update(pred_mean, pred_cov, z, r_tril)
         return GaussianBelief(mean, cov), mean
+
+    def precompute_control_features(self, params, controls_seq):
+        """(T, N, C) controls -> (T, N, U) hoisted control features, or
+        ``None`` when hoisting is off/unsupported. One batched MLP pass
+        replaces T in-scan passes (same row math — matmul reductions run
+        over the feature axis only)."""
+        if not (
+            self.hoist_ctrl and self.dynamics_model.supports_control_hoist
+        ):
+            return None
+        t, n = controls_seq.shape[:2]
+        flat = controls_seq.reshape((t * n,) + controls_seq.shape[2:])
+        cf = self.dynamics_model.encode_controls(
+            params["dynamics_model"], flat
+        )
+        return cf.reshape((t, n) + cf.shape[1:])
 
     def step(
         self,
@@ -145,16 +195,30 @@ class VirtualSensorEKFDef(FilterDef):
         scan body is pure small-matrix EKF algebra."""
         del key, train
         z_seq, r_seq = self.precompute_virtual(params, observations_seq, enabled)
+        cf_seq = self.precompute_control_features(params, controls_seq)
 
-        def scan_step(carry, inputs):
-            z_t, r_t, ctrl_t = inputs
-            new_belief, mean = self.update_from_virtual(
-                params, carry, z_t, r_t, ctrl_t
-            )
-            return new_belief, mean
+        if cf_seq is not None:
+
+            def scan_step(carry, inputs):
+                z_t, r_t, cf_t = inputs
+                new_belief, mean = self.update_from_virtual(
+                    params, carry, z_t, r_t, None, ctrl_feat=cf_t
+                )
+                return new_belief, mean
+
+            xs = (z_seq, r_seq, cf_seq)
+        else:
+
+            def scan_step(carry, inputs):
+                z_t, r_t, ctrl_t = inputs
+                new_belief, mean = self.update_from_virtual(
+                    params, carry, z_t, r_t, ctrl_t
+                )
+                return new_belief, mean
+
+            xs = (z_seq, r_seq, controls_seq)
 
         final_belief, estimates = jax.lax.scan(
-            scan_step, belief, (z_seq, r_seq, controls_seq),
-            unroll=self.scan_unroll,
+            scan_step, belief, xs, unroll=self.scan_unroll,
         )
         return final_belief, estimates

@@ -310,6 +310,15 @@ class CrossmodalKFDef(FilterDef):
     # forward_loop lax.scan unroll factor (numerics-identical; serving knob
     # MMF_TPU_SCAN_UNROLL — see ParticleFilterDef.scan_unroll).
     scan_unroll: int = 1
+    # vmap the enabled children's in-scan EKF updates over one stacked child
+    # axis (the fused carry broadcasts — crossmodal write-back means every
+    # child predicts from the same belief). Row math is unchanged (batched
+    # dense rows reduce over features only; batched 3x3 Cholesky is
+    # elementwise per child) — bitwise-tested in tests/test_ekf_hoist.py.
+    # Requires structurally identical child dynamics; falls back to the
+    # per-child Python loop otherwise. Halves the tiny-op count per step for
+    # the 2-child door/push models — an N=1 latency lever.
+    stack_children: bool = True
 
     def _stack_injection(self, params, observations, enabled, include_gate):
         if not self.stack_image_encoders:
@@ -459,6 +468,17 @@ class CrossmodalKFDef(FilterDef):
                 )
                 virtuals[str(i)] = (z_seq, r_seq)
 
+        # Per-child hoisted control features (see VirtualSensorEKFDef.
+        # precompute_control_features — bitwise, one batched MLP per child).
+        ctrl_feats = {}
+        for i, fm in enumerate(self.filter_models):
+            if enabled[i]:
+                cf = fm.precompute_control_features(
+                    params["filter_models"][str(i)], controls_seq
+                )
+                if cf is not None:
+                    ctrl_feats[str(i)] = cf
+
         if not all(enabled):
             weights_seq = jnp.ones((t, sum(enabled), n, self.state_dim))
         else:
@@ -478,15 +498,92 @@ class CrossmodalKFDef(FilterDef):
                 force_w = jnp.where(blackout, 1.0 - 1e-9, weights_seq[:, 1])
                 weights_seq = jnp.stack([image_w, force_w], axis=1)
 
+        # Stacked-children fast path (see the `stack_children` field): one
+        # vmapped EKF update over a (K, ...) child axis instead of K separate
+        # op chains per scan step. Static trace-time gate; the fused carry
+        # broadcasts into every child (crossmodal write-back semantics).
+        en_idx = [i for i in range(len(self.filter_models)) if enabled[i]]
+        fm0 = self.filter_models[en_idx[0]]
+        can_stack = (
+            self.stack_children
+            and len(en_idx) > 1
+            and all(
+                self.filter_models[i].dynamics_model == fm0.dynamics_model
+                and self.filter_models[i].hoist_ctrl == fm0.hoist_ctrl
+                for i in en_idx
+            )
+        )
+
+        if can_stack:
+            z_st = jnp.stack([virtuals[str(i)][0] for i in en_idx], axis=1)
+            r_st = jnp.stack([virtuals[str(i)][1] for i in en_idx], axis=1)
+            dyn_st = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[
+                    params["filter_models"][str(i)]["dynamics_model"]
+                    for i in en_idx
+                ],
+            )
+            cf_st = (
+                jnp.stack([ctrl_feats[str(i)] for i in en_idx], axis=1)
+                if all(str(i) in ctrl_feats for i in en_idx)
+                else None
+            )
+
+            if cf_st is not None:
+
+                def scan_step(carry, inputs):
+                    z_t, r_t, cf_t, weights_t = inputs
+
+                    def one_child(dyn_p, z_i, r_i, cf_i):
+                        b, m = fm0.update_from_virtual(
+                            {"dynamics_model": dyn_p}, carry, z_i, r_i,
+                            None, ctrl_feat=cf_i,
+                        )
+                        return m, b.cov
+
+                    means, covs = jax.vmap(one_child)(dyn_st, z_t, r_t, cf_t)
+                    fused_mean, fused_cov = _calculate_weighted_states(
+                        weights_t, means, covs
+                    )
+                    return GaussianBelief(fused_mean, fused_cov), fused_mean
+
+                xs = (z_st, r_st, cf_st, weights_seq)
+            else:
+
+                def scan_step(carry, inputs):
+                    z_t, r_t, weights_t, ctrl_t = inputs
+
+                    def one_child(dyn_p, z_i, r_i):
+                        b, m = fm0.update_from_virtual(
+                            {"dynamics_model": dyn_p}, carry, z_i, r_i,
+                            ctrl_t,
+                        )
+                        return m, b.cov
+
+                    means, covs = jax.vmap(one_child)(dyn_st, z_t, r_t)
+                    fused_mean, fused_cov = _calculate_weighted_states(
+                        weights_t, means, covs
+                    )
+                    return GaussianBelief(fused_mean, fused_cov), fused_mean
+
+                xs = (z_st, r_st, weights_seq, controls_seq)
+
+            final_belief, estimates = jax.lax.scan(
+                scan_step, belief, xs, unroll=self.scan_unroll,
+            )
+            return final_belief, estimates
+
         def scan_step(carry, inputs):
-            virtuals_t, weights_t, ctrl_t = inputs
+            virtuals_t, cf_t, weights_t, ctrl_t = inputs
             means, covs = [], []
             for i, fm in enumerate(self.filter_models):
                 if not enabled[i]:
                     continue
                 z_t, r_t = virtuals_t[str(i)]
                 child_belief, child_mean = fm.update_from_virtual(
-                    params["filter_models"][str(i)], carry, z_t, r_t, ctrl_t
+                    params["filter_models"][str(i)], carry, z_t, r_t, ctrl_t,
+                    ctrl_feat=cf_t.get(str(i)),
                 )
                 means.append(child_mean)
                 covs.append(child_belief.cov)
@@ -496,7 +593,8 @@ class CrossmodalKFDef(FilterDef):
             return GaussianBelief(fused_mean, fused_cov), fused_mean
 
         final_belief, estimates = jax.lax.scan(
-            scan_step, belief, (virtuals, weights_seq, controls_seq),
+            scan_step, belief,
+            (virtuals, ctrl_feats, weights_seq, controls_seq),
             unroll=self.scan_unroll,
         )
         return final_belief, estimates
@@ -546,6 +644,11 @@ class UnimodalKFDef(FilterDef):
     # forward_loop lax.scan unroll factor (numerics-identical; serving knob
     # MMF_TPU_SCAN_UNROLL — see ParticleFilterDef.scan_unroll).
     scan_unroll: int = 1
+    # vmap the enabled children's in-scan EKF updates over one stacked child
+    # axis (see CrossmodalKFDef.stack_children; here the per-child beliefs
+    # stack into the carry as well — they evolve independently). Bitwise vs
+    # the per-child loop (tests/test_ekf_hoist.py).
+    stack_children: bool = True
 
     def init(self, key):
         keys = jax.random.split(key, len(self.filter_models))
@@ -644,21 +747,110 @@ class UnimodalKFDef(FilterDef):
         enabled = _normalize_enabled(enabled, len(self.filter_models))
 
         virtuals = {}
+        ctrl_feats = {}
         for i, fm in enumerate(self.filter_models):
             if enabled[i]:
                 virtuals[str(i)] = fm.precompute_virtual(
                     params["filter_models"][str(i)], observations_seq
                 )
+                cf = fm.precompute_control_features(
+                    params["filter_models"][str(i)], controls_seq
+                )
+                if cf is not None:
+                    ctrl_feats[str(i)] = cf
+
+        # Stacked-children fast path (see the `stack_children` field): the
+        # independent per-child beliefs stack into a (K, ...) carry and one
+        # vmapped EKF update replaces the per-child op chains. Static gate;
+        # bitwise vs the loop below (tests/test_ekf_hoist.py).
+        en_idx = [i for i in range(len(self.filter_models)) if enabled[i]]
+        fm0 = self.filter_models[en_idx[0]]
+        can_stack = (
+            self.stack_children
+            and len(en_idx) > 1
+            and all(
+                self.filter_models[i].dynamics_model == fm0.dynamics_model
+                and self.filter_models[i].hoist_ctrl == fm0.hoist_ctrl
+                for i in en_idx
+            )
+        )
+        if can_stack:
+            z_st = jnp.stack([virtuals[str(i)][0] for i in en_idx], axis=1)
+            r_st = jnp.stack([virtuals[str(i)][1] for i in en_idx], axis=1)
+            dyn_st = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[
+                    params["filter_models"][str(i)]["dynamics_model"]
+                    for i in en_idx
+                ],
+            )
+            cf_available = all(str(i) in ctrl_feats for i in en_idx)
+            cf_st = (
+                jnp.stack([ctrl_feats[str(i)] for i in en_idx], axis=1)
+                if cf_available
+                else None
+            )
+            mean_st = jnp.stack([belief[i].mean for i in en_idx])
+            cov_st = jnp.stack([belief[i].cov for i in en_idx])
+            xs = (
+                (z_st, r_st, cf_st)
+                if cf_available
+                else (z_st, r_st, controls_seq)
+            )
+
+            def scan_step(carry, inputs):
+                m_st, c_st = carry
+                z_t, r_t, third = inputs
+
+                def one_child(dyn_p, bm, bc, z_i, r_i, cf_i):
+                    b, m = fm0.update_from_virtual(
+                        {"dynamics_model": dyn_p}, GaussianBelief(bm, bc),
+                        z_i, r_i, None if cf_available else third,
+                        ctrl_feat=cf_i,
+                    )
+                    return b.mean, b.cov, m
+
+                if cf_available:
+                    nm, nc, means = jax.vmap(one_child)(
+                        dyn_st, m_st, c_st, z_t, r_t, third
+                    )
+                else:
+                    nm, nc, means = jax.vmap(
+                        lambda dp, bm, bc, z_i, r_i: one_child(
+                            dp, bm, bc, z_i, r_i, None
+                        )
+                    )(dyn_st, m_st, c_st, z_t, r_t)
+
+                precisions = jnp.linalg.inv(nc + 1e-9)
+                fused_cov = jnp.linalg.inv(
+                    jnp.sum(precisions, axis=0) + 1e-9
+                )
+                weighted_unnorm = jnp.sum(
+                    jnp.einsum("knij,knj->kni", precisions, means), axis=0
+                )
+                fused_mean = jnp.einsum(
+                    "nij,nj->ni", fused_cov, weighted_unnorm
+                )
+                return (nm, nc), fused_mean
+
+            (final_m, final_c), estimates = jax.lax.scan(
+                scan_step, (mean_st, cov_st), xs, unroll=self.scan_unroll,
+            )
+            new_beliefs = list(belief)
+            for j, i in enumerate(en_idx):
+                new_beliefs[i] = GaussianBelief(final_m[j], final_c[j])
+            return tuple(new_beliefs), estimates
 
         def scan_step(carry, inputs):
-            virtuals_t, ctrl_t = inputs
+            virtuals_t, cf_t, ctrl_t = inputs
             new_beliefs = []
             means, covs = [], []
             for i, fm in enumerate(self.filter_models):
                 if enabled[i]:
                     z_t, r_t = virtuals_t[str(i)]
                     child_belief, child_mean = fm.update_from_virtual(
-                        params["filter_models"][str(i)], carry[i], z_t, r_t, ctrl_t
+                        params["filter_models"][str(i)], carry[i], z_t, r_t,
+                        ctrl_t, ctrl_feat=cf_t.get(str(i)),
                     )
                     new_beliefs.append(child_belief)
                     means.append(child_mean)
@@ -680,7 +872,7 @@ class UnimodalKFDef(FilterDef):
             return tuple(new_beliefs), fused_mean
 
         final_belief, estimates = jax.lax.scan(
-            scan_step, belief, (virtuals, controls_seq),
+            scan_step, belief, (virtuals, ctrl_feats, controls_seq),
             unroll=self.scan_unroll,
         )
         return final_belief, estimates
