@@ -218,6 +218,107 @@ def bench_jax(batch: int = BATCH, measure_flops: bool = False, bf16: bool = None
     return steps_per_sec, flops_per_step
 
 
+def bench_kf_jax(model_name: str = "DoorCrossmodalKalmanFilter",
+                 batch: int = 1, bf16: bool = True, fold: bool = True,
+                 unroll: int = 10, hoist_ctrl=None, stack_children=None):
+    """KF-family serving throughput (house chained-timing method — see
+    bench_jax). Shared by the JSON line's latency_us_per_step_n1_cmekf
+    config and scripts/bench_kf_n1.py's A/B battery (single source of
+    truth for the program under measurement). Returns steps/s."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import crossmodal.door_models as door_models
+
+    log(f"[bench] devices: {jax.devices()} (kf {model_name}, batch={batch})")
+    model = getattr(door_models, model_name)()
+    defn = model.definition
+    from multimodalfilter_tpu.utils.precision import (
+        with_compute_dtype,
+        with_fold_tail,
+        with_scan_unroll,
+    )
+
+    if bf16:
+        defn = with_compute_dtype(defn, jnp.bfloat16)
+    if fold:
+        defn = with_fold_tail(defn, True)
+    if unroll > 1:
+        defn = with_scan_unroll(defn, unroll)
+    if hoist_ctrl is not None:
+        from multimodalfilter_tpu.utils.precision import with_hoist_ctrl
+
+        defn = with_hoist_ctrl(defn, hoist_ctrl)
+    if stack_children is not None and any(
+        f.name == "stack_children" for f in dataclasses.fields(defn)
+    ):
+        defn = dataclasses.replace(defn, stack_children=stack_children)
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 5)
+    obs_seq = {
+        "image": jax.random.normal(
+            ks[0], (TIMESTEPS, batch, 32, 32), jnp.float32
+        ),
+        "gripper_pos": jax.random.normal(ks[1], (TIMESTEPS, batch, 3)),
+        "gripper_sensors": jax.random.normal(ks[2], (TIMESTEPS, batch, 7)),
+    }
+    controls_seq = jax.random.normal(ks[3], (TIMESTEPS, batch, 7))
+    mean = jnp.zeros((batch, 3))
+    cov = jnp.broadcast_to(jnp.eye(3) * 0.1, (batch, 3, 3))
+    belief = defn.initialize_beliefs(
+        model.params, ks[4], mean, cov, train=False
+    )
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def run_chained(params, belief, obs_seq, controls_seq, key, reps: int):
+        # Same loop-variant chained structure as bench_jax (see the long
+        # comment there): i*1e-12 keeps inputs fresh per rep so the hoisted
+        # batched passes cannot be elided from the chain.
+        def body(carry, i):
+            b, acc = carry
+            eps = i.astype(jnp.float32) * 1e-12
+            obs_i = jax.tree_util.tree_map(lambda v: v + eps, obs_seq)
+            ctrl_i = controls_seq + eps
+            nb, est = defn.forward_loop(
+                params, b, obs_i, ctrl_i, jax.random.fold_in(key, i),
+                train=False,
+            )
+            return (nb, acc + est.sum()), None
+
+        (_, acc), _ = jax.lax.scan(
+            body, (belief, jnp.float32(0)), jnp.arange(reps)
+        )
+        return acc
+
+    t0 = time.perf_counter()
+    float(run_chained(model.params, belief, obs_seq, controls_seq, key, CHAIN))
+    log(f"[bench] kf compile+first run: {time.perf_counter() - t0:.1f}s")
+    float(
+        run_chained(
+            model.params, belief, obs_seq, controls_seq,
+            jax.random.PRNGKey(99), CHAIN,
+        )
+    )
+    times = []
+    for i in range(REPEATS):
+        k = jax.random.PRNGKey(i + 1)
+        t0 = time.perf_counter()
+        float(
+            run_chained(model.params, belief, obs_seq, controls_seq, k, CHAIN)
+        )
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    steps_per_sec = TIMESTEPS * batch * CHAIN / best
+    log(
+        f"[bench] kf {model_name}: {best * 1e3:.1f} ms / "
+        f"{CHAIN}x{TIMESTEPS}x{batch} steps -> {steps_per_sec:.0f} steps/s"
+    )
+    return steps_per_sec
+
+
 # ---------------------------------------------------------------------------
 # PyTorch-CPU baseline (architecture-equivalent)
 # ---------------------------------------------------------------------------
@@ -825,6 +926,25 @@ def main():
         except Exception as exc:
             log(f"[bench] latency bench failed: {exc}")
 
+    # N=1 latency for the OTHER flagship family — the crossmodal KF
+    # (round-5 EKF scan levers: hoist_ctrl + stack_children, both default
+    # ON; same-boot A/B in scripts/bench_kf_n1.py put this at 26.4 us vs
+    # 34.0 before). BENCH_KF_LATENCY=0 skips.
+    kf_latency_us = None
+    if (
+        os.environ.get("BENCH_KF_LATENCY", "1") == "1"
+        and not over_budget("CMEKF N=1 latency config")
+    ):
+        try:
+            kf_sps = bench_kf_jax(batch=1)
+            kf_latency_us = 1e6 / kf_sps
+            log(
+                f"[bench] single-stream latency: {kf_latency_us:.1f} us / "
+                "filter-step (N=1, crossmodal KF)"
+            )
+        except Exception as exc:
+            log(f"[bench] kf latency bench failed: {exc}")
+
     train_sps = None
     if not over_budget("train bench"):
         try:
@@ -951,6 +1071,11 @@ def main():
                 "latency_n1_prng": lat_prng if latency_us else None,
                 "latency_n1_unroll": lat_unroll if latency_us else None,
                 "latency_n1_fused": lat_fused if latency_us else None,
+                # The crossmodal-KF flagship's N=1 latency (bf16+fold,
+                # unroll=10, hoist_ctrl+stack_children default ON).
+                "latency_us_per_step_n1_cmekf": (
+                    round(kf_latency_us, 1) if kf_latency_us else None
+                ),
                 "train_steps_per_sec": round(train_sps, 1) if train_sps else None,
                 "train_steps_per_sec_saturated_bf16": (
                     round(train_sat_sps, 1) if train_sat_sps else None

@@ -15,8 +15,6 @@ Writes one JSON line per config and a summary table.
 from __future__ import annotations
 
 import argparse
-import dataclasses
-import functools
 import json
 import os
 import sys
@@ -26,9 +24,8 @@ sys.path.insert(
     0, os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 )
 
-TIMESTEPS = int(os.environ.get("BENCH_T", "100"))
-CHAIN = int(os.environ.get("BENCH_CHAIN", "16"))
-REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
+# Timing knobs (BENCH_T / BENCH_CHAIN / BENCH_REPEATS) are read by bench.py
+# at import — the shared bench_kf_jax inherits them.
 
 CONFIGS = {
     # key: (model, bf16, fold, unroll, hoist_ctrl, stack_children)
@@ -60,91 +57,15 @@ CONFIGS = {
 
 def measure(model_name: str, batch: int, bf16: bool, fold: bool,
             unroll: int, hoist_ctrl, stack_children) -> float:
-    import jax
-    import jax.numpy as jnp
+    """Delegates to bench.bench_kf_jax — the single source of truth for
+    the measured program (same pattern as capture_train ->
+    bench.make_train_program, advisor r4)."""
+    import bench
 
-    import crossmodal.door_models as door_models
-
-    model = getattr(door_models, model_name)()
-    defn = model.definition
-    from multimodalfilter_tpu.utils.precision import (
-        with_compute_dtype,
-        with_fold_tail,
-        with_scan_unroll,
+    return bench.bench_kf_jax(
+        model_name=model_name, batch=batch, bf16=bf16, fold=fold,
+        unroll=unroll, hoist_ctrl=hoist_ctrl, stack_children=stack_children,
     )
-
-    if bf16:
-        defn = with_compute_dtype(defn, jnp.bfloat16)
-    if fold:
-        defn = with_fold_tail(defn, True)
-    if unroll > 1:
-        defn = with_scan_unroll(defn, unroll)
-    if hoist_ctrl is not None:
-        from multimodalfilter_tpu.utils.precision import with_hoist_ctrl
-
-        defn = with_hoist_ctrl(defn, hoist_ctrl)
-    if stack_children is not None and any(
-        f.name == "stack_children" for f in dataclasses.fields(defn)
-    ):
-        defn = dataclasses.replace(defn, stack_children=stack_children)
-
-    key = jax.random.PRNGKey(0)
-    ks = jax.random.split(key, 5)
-    obs_seq = {
-        "image": jax.random.normal(
-            ks[0], (TIMESTEPS, batch, 32, 32), jnp.float32
-        ),
-        "gripper_pos": jax.random.normal(ks[1], (TIMESTEPS, batch, 3)),
-        "gripper_sensors": jax.random.normal(ks[2], (TIMESTEPS, batch, 7)),
-    }
-    controls_seq = jax.random.normal(ks[3], (TIMESTEPS, batch, 7))
-    mean = jnp.zeros((batch, 3))
-    cov = jnp.broadcast_to(jnp.eye(3) * 0.1, (batch, 3, 3))
-    belief = defn.initialize_beliefs(
-        model.params, ks[4], mean, cov, train=False
-    )
-
-    @functools.partial(jax.jit, static_argnames=("reps",))
-    def run_chained(params, belief, obs_seq, controls_seq, key, reps: int):
-        def body(carry, i):
-            b, acc = carry
-            eps = i.astype(jnp.float32) * 1e-12
-            obs_i = jax.tree_util.tree_map(lambda v: v + eps, obs_seq)
-            ctrl_i = controls_seq + eps
-            nb, est = defn.forward_loop(
-                params, b, obs_i, ctrl_i, jax.random.fold_in(key, i),
-                train=False,
-            )
-            return (nb, acc + est.sum()), None
-
-        (_, acc), _ = jax.lax.scan(
-            body, (belief, jnp.float32(0)), jnp.arange(reps)
-        )
-        return acc
-
-    t0 = time.perf_counter()
-    float(run_chained(model.params, belief, obs_seq, controls_seq, key, CHAIN))
-    print(
-        f"[kf-bench] {model_name} compile+first run: "
-        f"{time.perf_counter() - t0:.1f}s",
-        flush=True,
-    )
-    float(
-        run_chained(
-            model.params, belief, obs_seq, controls_seq,
-            jax.random.PRNGKey(99), CHAIN,
-        )
-    )
-    times = []
-    for i in range(REPEATS):
-        k = jax.random.PRNGKey(i + 1)
-        t0 = time.perf_counter()
-        float(
-            run_chained(model.params, belief, obs_seq, controls_seq, k, CHAIN)
-        )
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    return TIMESTEPS * batch * CHAIN / best
 
 
 def main():
