@@ -45,6 +45,12 @@ class DynamicsDef:
     net: Any  # flax linen module with (states, controls) -> (new, scale_tril)
     state_dim: int
     control_dim: int = 7
+    # Hoist the control encoder out of forward_loop's scan (one batched
+    # (T*N)-row pass instead of T in-scan passes; bitwise row math — see
+    # ParticleFilterDef.hoist_ctrl / VirtualSensorEKFDef.hoist_ctrl,
+    # tests/test_ekf_hoist.py). Affects the noise-free rollout used by
+    # eval_dynamics and train_dynamics_recurrent.
+    hoist_ctrl: bool = True
 
     def init(self, key) -> Params:
         states = jnp.zeros((1, self.state_dim), jnp.float32)
@@ -78,6 +84,22 @@ class DynamicsDef:
     def forward_loop(self, params: Params, initial_states, controls_seq):
         """Noise-free mean rollout. controls_seq: (T, N, C). Returns
         (states (T, N, D), scale_trils (T, N, D, D))."""
+        if self.hoist_ctrl and self.supports_control_hoist:
+            t, n = controls_seq.shape[:2]
+            flat = controls_seq.reshape((t * n,) + controls_seq.shape[2:])
+            cf = self.encode_controls(params, flat)
+            cf_seq = cf.reshape((t, n) + cf.shape[1:])
+
+            def step(carry, cf_t):
+                new_states, scale_tril = self.apply_with_control_features(
+                    params, carry, cf_t
+                )
+                return new_states, (new_states, scale_tril)
+
+            _, (states, scale_trils) = jax.lax.scan(
+                step, initial_states, cf_seq
+            )
+            return states, scale_trils
 
         def step(carry, controls_t):
             new_states, scale_tril = self.apply(params, carry, controls_t)

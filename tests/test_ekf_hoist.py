@@ -96,6 +96,42 @@ def test_ekf_hoist_gradients_match():
         )
 
 
+def test_dynamics_rollout_hoist_bitwise():
+    """DynamicsDef.forward_loop (eval_dynamics / train_dynamics_recurrent
+    rollout): hoisted control features must be bitwise vs the in-scan
+    path, forward and gradient."""
+    from crossmodal.door_models import DoorKalmanFilter
+
+    model = DoorKalmanFilter()
+    dyn = model.definition.dynamics_model
+    dyn_params = model.params["dynamics_model"]
+    key = jax.random.PRNGKey(5)
+    ks = jax.random.split(key, 3)
+    init = jax.random.normal(ks[0], (3, 3))
+    ctrl = jax.random.normal(ks[1], (6, 3, 7))
+    target = jax.random.normal(ks[2], (6, 3, 3))
+
+    hoisted = dataclasses.replace(dyn, hoist_ctrl=True)
+    inscan = dataclasses.replace(dyn, hoist_ctrl=False)
+    sh, th = jax.jit(lambda p: hoisted.forward_loop(p, init, ctrl))(dyn_params)
+    si, ti = jax.jit(lambda p: inscan.forward_loop(p, init, ctrl))(dyn_params)
+    np.testing.assert_array_equal(np.asarray(sh), np.asarray(si))
+    np.testing.assert_array_equal(np.asarray(th), np.asarray(ti))
+
+    def loss(d, p):
+        pred, _ = d.forward_loop(p, init, ctrl)
+        return jnp.mean((pred - target) ** 2)
+
+    gh = jax.grad(lambda p: loss(hoisted, p))(dyn_params)
+    gi = jax.grad(lambda p: loss(inscan, p))(dyn_params)
+    for lh, li in zip(
+        jax.tree_util.tree_leaves(gh), jax.tree_util.tree_leaves(gi)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(lh), np.asarray(li), rtol=1e-6, atol=1e-7
+        )
+
+
 def test_ekf_hoist_default_on():
     from crossmodal.door_models import DoorKalmanFilter
 
